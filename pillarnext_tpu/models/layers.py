@@ -1,0 +1,200 @@
+"""Shared flax building blocks.
+
+Dense NHWC conv blocks (the TPU-native equivalent of both the reference's
+dense blocks, det3d/models/utils/conv.py, and its sparse spconv blocks,
+det3d/models/utils/sparse_conv.py — on TPU the BEV grid is kept dense so both
+families collapse into one) and a masked, cross-replica BatchNorm for padded
+point buffers.
+
+BatchNorm parity: the reference PFN/backbone uses eps=1e-3, momentum=0.01
+(pillar_encoder.py:33, sparse_conv.py:30) while neck/head blocks use torch
+defaults (conv.py:27, centerhead.py:40).  ``axis_name='data'`` reproduces
+SyncBatchNorm (tools/train.py:55-56) inside the compiled program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch BatchNorm momentum m updates running stats as (1-m)*ra + m*batch;
+# flax momentum is the decay of the running stats, i.e. flax = 1 - torch.
+BN_EPS_SPARSE = 1e-3       # PFN + backbone blocks (pillar_encoder.py:33)
+BN_MOMENTUM_SPARSE = 0.99  # torch momentum 0.01
+BN_EPS_DENSE = 1e-5        # neck/head blocks use torch defaults (conv.py:27)
+BN_MOMENTUM_DENSE = 0.9    # torch momentum 0.1
+
+
+class ConvBlock(nn.Module):
+    """Conv2D (no bias) + BN + ReLU over NHWC, 'same' padding."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    bn_eps: float = BN_EPS_DENSE
+    bn_momentum: float = BN_MOMENTUM_DENSE
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_eps,
+            axis_name=self.axis_name if train else None,
+            dtype=jnp.float32,
+        )(x)
+        return nn.relu(x)
+
+
+class BasicBlock(nn.Module):
+    """Two ConvBlocks with a residual skip (reference conv.py:38-51)."""
+
+    features: int
+    kernel_size: int = 3
+    bn_eps: float = BN_EPS_DENSE
+    bn_momentum: float = BN_MOMENTUM_DENSE
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        for _ in range(2):
+            x = ConvBlock(
+                self.features,
+                self.kernel_size,
+                bn_eps=self.bn_eps,
+                bn_momentum=self.bn_momentum,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+            )(x, train)
+        return nn.relu(x + identity)
+
+
+class ConvTransposeBlock(nn.Module):
+    """ConvTranspose2D (stride = kernel) + BN + ReLU — the head's ``deblock``
+    upsample (reference centerhead.py:25-30)."""
+
+    features: int
+    stride: int
+    bn_eps: float = BN_EPS_DENSE
+    bn_momentum: float = BN_MOMENTUM_DENSE
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(
+            self.features,
+            (self.stride, self.stride),
+            strides=(self.stride, self.stride),
+            padding="VALID",
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_eps,
+            axis_name=self.axis_name if train else None,
+            dtype=jnp.float32,
+        )(x)
+        return nn.relu(x)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over a padded point buffer (..., C) with validity mask.
+
+    Statistics are computed over valid rows only (padded rows would otherwise
+    bias the batch mean toward zero), synchronized over ``axis_name`` — the
+    analogue of BatchNorm1d-on-points + SyncBatchNorm in the reference PFN
+    (pillar_encoder.py:33-40).
+    """
+
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            m = mask.astype(jnp.float32)[..., None]
+            xf = x.astype(jnp.float32)
+            cnt = m.sum()
+            total = (xf * m).reshape(-1, c).sum(axis=0)
+            total_sq = (jnp.square(xf) * m).reshape(-1, c).sum(axis=0)
+            if self.axis_name is not None:
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                total = jax.lax.psum(total, self.axis_name)
+                total_sq = jax.lax.psum(total_sq, self.axis_name)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = total / cnt
+            var = jnp.maximum(total_sq / cnt - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                mom = BN_MOMENTUM_SPARSE
+                ra_mean.value = mom * ra_mean.value + (1 - mom) * mean
+                ra_var.value = mom * ra_var.value + (1 - mom) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + BN_EPS_SPARSE) * scale + bias
+        return y.astype(x.dtype)
+
+
+class MLPHead(nn.Module):
+    """(num_conv-1) x [3x3 conv + BN + ReLU] then a final 3x3 conv with bias —
+    one output branch of SepHead (reference centerhead.py:32-49)."""
+
+    out_features: int
+    num_conv: int
+    head_conv: int = 64
+    final_bias_init: float = 0.0
+    kernel_size: int = 3
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for _ in range(self.num_conv - 1):
+            x = nn.Conv(
+                self.head_conv,
+                (self.kernel_size, self.kernel_size),
+                padding="SAME",
+                use_bias=True,
+                dtype=self.dtype,
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM_DENSE,
+                epsilon=BN_EPS_DENSE,
+                axis_name=self.axis_name if train else None,
+                dtype=jnp.float32,
+            )(x)
+            x = nn.relu(x)
+        x = nn.Conv(
+            self.out_features,
+            (self.kernel_size, self.kernel_size),
+            padding="SAME",
+            use_bias=True,
+            bias_init=nn.initializers.constant(self.final_bias_init),
+            dtype=self.dtype,
+        )(x)
+        return x

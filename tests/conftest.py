@@ -1,0 +1,15 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+This is the JAX analogue of a fake distributed backend (SURVEY.md §4): all
+multi-device behavior (data-parallel psum, sync-BN pmean, eval gather) is
+exercised without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
