@@ -1,0 +1,387 @@
+"""nuScenes detection evaluation.
+
+Two halves, mirroring the reference protocol (det3d/datasets/nuscenes/
+nusc.py:123-245, nusc_common.py:204-246):
+
+1. **Submission JSON** in the official nuScenes format: detections are
+   transformed lidar -> global using the ``ref_from_car`` / ``car_from_global``
+   matrices already stored in the infos pickle (nusc_common.py:331-347) —
+   no devkit required — with the velocity-based attribute rules
+   (nusc.py:152-171) and per-class prior-argmax defaults (nusc_common.py:42-153).
+
+2. **Metric computation**: if the official ``nuscenes-devkit`` is importable
+   it is used (exactly like the reference); otherwise a self-contained
+   implementation of the `detection_cvpr_2019` protocol runs: per-class
+   center-distance matching at {0.5, 1, 2, 4} m, 101-point interpolated AP
+   over recall/precision in [0.1, 1], TP metrics (ATE/ASE/AOE/AVE/AAE) at
+   the 2 m threshold, and NDS.  Matching happens in the lidar frame — center
+   distances, velocity differences, and yaw differences are invariant under
+   the per-sample rigid transform to global, so the scores are identical.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+# argmax of the attribute priors (nusc_common.py:42-153); all-zero rows
+# fall back to the first key, matching Python max() over the dict items.
+DEFAULT_ATTRIBUTE = {
+    "barrier": "cycle.with_rider",
+    "bicycle": "cycle.without_rider",
+    "bus": "vehicle.moving",
+    "car": "vehicle.parked",
+    "construction_vehicle": "vehicle.parked",
+    "motorcycle": "cycle.without_rider",
+    "pedestrian": "pedestrian.moving",
+    "traffic_cone": "cycle.with_rider",
+    "trailer": "vehicle.parked",
+    "truck": "vehicle.parked",
+}
+
+DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
+TP_THRESHOLD = 2.0
+MIN_RECALL = 0.1
+MIN_PRECISION = 0.1
+
+# classes where a TP metric is undefined in the official protocol
+NO_VELOCITY = {"barrier", "traffic_cone"}
+NO_ATTRIBUTE = {"barrier", "traffic_cone"}
+NO_ORIENTATION = {"traffic_cone"}
+PERIOD_PI = {"barrier"}  # orientation error modulo pi
+
+
+def _rotmat_to_quat(r: np.ndarray) -> list[float]:
+    """Rotation matrix -> quaternion [w, x, y, z] (Shepperd's method)."""
+    t = np.trace(r)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return [0.25 * s, (r[2, 1] - r[1, 2]) / s, (r[0, 2] - r[2, 0]) / s,
+                (r[1, 0] - r[0, 1]) / s]
+    i = int(np.argmax(np.diag(r)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(r[i, i] - r[j, j] - r[k, k] + 1.0) * 2
+    q = [0.0, 0.0, 0.0, 0.0]
+    q[0] = (r[k, j] - r[j, k]) / s
+    q[i + 1] = 0.25 * s
+    q[j + 1] = (r[j, i] + r[i, j]) / s
+    q[k + 1] = (r[k, i] + r[i, k]) / s
+    return q
+
+
+def _attr_for(name: str, velocity_xy: np.ndarray) -> str:
+    """Velocity-based attribute rules (nusc.py:152-171)."""
+    speed = float(np.sqrt(velocity_xy[0] ** 2 + velocity_xy[1] ** 2))
+    if speed > 0.2:
+        if name in ("car", "construction_vehicle", "bus", "truck", "trailer"):
+            return "vehicle.moving"
+        if name in ("bicycle", "motorcycle"):
+            return "cycle.with_rider"
+    else:
+        if name == "pedestrian":
+            return "pedestrian.standing"
+        if name == "bus":
+            return "vehicle.parked"
+    return DEFAULT_ATTRIBUTE[name]
+
+
+def detections_to_submission(
+    infos_by_token: dict, detections: dict, class_names: list[str]
+) -> dict:
+    """Build the official results JSON dict from lidar-frame detections.
+
+    ``detections[token]`` = {'box3d_lidar': (D, 9), 'scores': (D,),
+    'label_preds': (D,)} (already validity-trimmed numpy).
+    """
+    results = {}
+    for token, det in detections.items():
+        info = infos_by_token[token]
+        # lidar -> global: p_l = ref_from_car @ car_from_global @ p_g
+        t_l_from_g = np.asarray(info["ref_from_car"]) @ np.asarray(
+            info["car_from_global"]
+        )
+        t_g_from_l = np.linalg.inv(t_l_from_g)
+        rot = t_g_from_l[:3, :3]
+
+        annos = []
+        boxes = np.asarray(det["box3d_lidar"], np.float64)
+        scores = np.asarray(det["scores"], np.float64)
+        labels = np.asarray(det["label_preds"], np.int64)
+        for i in range(boxes.shape[0]):
+            b = boxes[i]
+            name = class_names[labels[i]]
+            center = rot @ b[:3] + t_g_from_l[:3, 3]
+            vel_g = rot @ np.array([b[6], b[7], 0.0])
+            yaw = b[8]
+            r_box = rot @ np.array(
+                [
+                    [np.cos(yaw), -np.sin(yaw), 0],
+                    [np.sin(yaw), np.cos(yaw), 0],
+                    [0, 0, 1],
+                ]
+            )
+            annos.append(
+                {
+                    "sample_token": token,
+                    "translation": center.tolist(),
+                    "size": [float(b[4]), float(b[3]), float(b[5])],  # w, l, h
+                    "rotation": _rotmat_to_quat(r_box),
+                    "velocity": vel_g[:2].tolist(),
+                    "detection_name": name,
+                    "detection_score": float(scores[i]),
+                    "attribute_name": _attr_for(name, b[6:8]),
+                }
+            )
+        results[token] = annos
+    return {
+        "results": results,
+        "meta": {
+            "use_camera": False,
+            "use_lidar": True,
+            "use_radar": False,
+            "use_map": False,
+            "use_external": False,
+        },
+    }
+
+
+# ------------------------------------------------------------ metric kernel
+
+
+def _average_precision(tp_flags: np.ndarray, n_gt: int) -> tuple[float, np.ndarray]:
+    """Official nuScenes AP: 101-point interpolated precision over recall,
+    clipped below (MIN_RECALL, MIN_PRECISION).  ``tp_flags`` are score-sorted.
+
+    Returns (ap, cumulative tp counts) for reuse by TP-metric accumulation.
+    """
+    if n_gt == 0 or tp_flags.size == 0:
+        return 0.0, np.zeros(0)
+    tp_cum = np.cumsum(tp_flags)
+    fp_cum = np.cumsum(~tp_flags)
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1)
+    recall = tp_cum / n_gt
+
+    rec_interp = np.linspace(0, 1, 101)
+    prec_interp = np.interp(rec_interp, recall, precision, right=0)
+    prec_interp = prec_interp[rec_interp >= MIN_RECALL]
+    prec_interp = np.maximum(prec_interp - MIN_PRECISION, 0) / (1 - MIN_PRECISION)
+    return float(prec_interp.mean()), tp_cum
+
+
+def _yaw_diff(a: float, b: float, period: float) -> float:
+    d = (a - b) % period
+    if d > period / 2:
+        d = period - d
+    return abs(d)
+
+
+def _match_class(dets: list, gts_by_token: dict, dist_th: float, with_tp: bool):
+    """Greedy score-ordered center-distance matching for one class.
+
+    ``dets``: list of (score, token, box9); ``gts_by_token``: token ->
+    (M, 9) array.  Returns tp flags + optional per-TP error records.
+    """
+    n_gt = sum(len(g) for g in gts_by_token.values())
+    taken: dict = {t: np.zeros(len(g), bool) for t, g in gts_by_token.items()}
+    dets = sorted(dets, key=lambda d: -d[0])
+    tp_flags = np.zeros(len(dets), bool)
+    errors = []  # (det_idx, trans_err, scale_err, orient_err, vel_err)
+
+    for di, (score, token, box) in enumerate(dets):
+        gts = gts_by_token.get(token)
+        if gts is None or len(gts) == 0:
+            continue
+        free = ~taken[token]
+        if not free.any():
+            continue
+        d2 = np.linalg.norm(gts[:, :2] - box[:2], axis=1)
+        d2[~free] = np.inf
+        j = int(np.argmin(d2))
+        if d2[j] >= dist_th:
+            continue
+        taken[token][j] = True
+        tp_flags[di] = True
+        if with_tp:
+            gt = gts[j]
+            trans = float(d2[j])
+            # ASE: 1 - IoU of aligned, centered boxes
+            inter = np.prod(np.minimum(box[3:6], gt[3:6]))
+            union = np.prod(box[3:6]) + np.prod(gt[3:6]) - inter
+            scale = 1.0 - inter / max(union, 1e-9)
+            vel = float(np.linalg.norm(box[6:8] - gt[6:8]))
+            errors.append((di, trans, scale, box[8], gt[8], vel))
+    return n_gt, tp_flags, errors
+
+
+def evaluate_protocol(
+    gt_by_token: dict, detections: dict, class_names: list[str]
+) -> dict:
+    """Self-contained `detection_cvpr_2019` scoring in the lidar frame.
+
+    ``gt_by_token``: token -> {'gt_boxes': (M, 9), 'gt_names': (M,)}.
+    ``detections``: token -> {'box3d_lidar','scores','label_preds'} numpy.
+    Returns {'label_aps', 'tp_errors', 'mean_ap', 'nd_score', ...}.
+    """
+    label_aps: dict = {}
+    label_tp: dict = {}
+
+    for ci, name in enumerate(class_names):
+        cls_dets = []
+        for token, det in detections.items():
+            sel = np.asarray(det["label_preds"]) == ci
+            boxes = np.asarray(det["box3d_lidar"])[sel]
+            scores = np.asarray(det["scores"])[sel]
+            for s, b in zip(scores, boxes):
+                cls_dets.append((float(s), token, b))
+        cls_gts = {}
+        for token, gt in gt_by_token.items():
+            sel = np.asarray(gt["gt_names"]) == name
+            cls_gts[token] = np.asarray(gt["gt_boxes"], np.float64)[sel]
+
+        aps = {}
+        tp_metrics = None
+        for dist_th in DIST_THRESHOLDS:
+            n_gt, tp_flags, errors = _match_class(
+                cls_dets, cls_gts, dist_th, with_tp=(dist_th == TP_THRESHOLD)
+            )
+            ap, tp_cum = _average_precision(tp_flags, n_gt)
+            aps[str(dist_th)] = ap
+            if dist_th == TP_THRESHOLD:
+                tp_metrics = _tp_errors(name, errors, tp_flags, n_gt, detections, cls_gts)
+        label_aps[name] = aps
+        label_tp[name] = tp_metrics
+
+    mean_ap = float(np.mean([np.mean(list(a.values())) for a in label_aps.values()]))
+
+    metric_names = ["trans_err", "scale_err", "orient_err", "vel_err", "attr_err"]
+    tp_means = {}
+    for m in metric_names:
+        vals = [label_tp[c][m] for c in class_names if not np.isnan(label_tp[c][m])]
+        tp_means[m] = float(np.mean(vals)) if vals else 1.0
+
+    nds = (
+        5.0 * mean_ap + sum(max(1.0 - min(1.0, tp_means[m]), 0.0) for m in metric_names)
+    ) / 10.0
+
+    return {
+        "label_aps": label_aps,
+        "label_tp_errors": label_tp,
+        "tp_errors": tp_means,
+        "mean_ap": mean_ap,
+        "nd_score": float(nds),
+    }
+
+
+def _tp_errors(name, errors, tp_flags, n_gt, detections, cls_gts):
+    """Class TP metrics averaged over TPs up to best-recall (official: mean
+    of per-TP errors accumulated over the recall range >= MIN_RECALL)."""
+    nan = float("nan")
+    out = {"trans_err": 1.0, "scale_err": 1.0, "orient_err": 1.0,
+           "vel_err": 1.0, "attr_err": 1.0}
+    if name in NO_VELOCITY:
+        out["vel_err"] = nan
+    if name in NO_ATTRIBUTE:
+        out["attr_err"] = nan
+    if name in NO_ORIENTATION:
+        out["orient_err"] = nan
+    if not errors or n_gt == 0:
+        return out
+
+    period = np.pi if name in PERIOD_PI else 2 * np.pi
+    # restrict to TPs at/after the MIN_RECALL point
+    min_tp = max(int(np.ceil(MIN_RECALL * n_gt)), 1)
+    tp_cum = np.cumsum(tp_flags)
+    trans, scale, orient, vel = [], [], [], []
+    for di, t, s, yaw_d, yaw_g, v in errors:
+        if tp_cum[di] < min_tp:
+            continue
+        trans.append(t)
+        scale.append(s)
+        orient.append(_yaw_diff(yaw_d, yaw_g, period))
+        vel.append(v)
+    if not trans:
+        return out
+    out["trans_err"] = float(np.mean(trans))
+    out["scale_err"] = float(np.mean(scale))
+    if name not in NO_ORIENTATION:
+        out["orient_err"] = float(np.mean(orient))
+    if name not in NO_VELOCITY:
+        out["vel_err"] = float(np.mean(vel))
+    if name not in NO_ATTRIBUTE:
+        # attributes are not carried on lidar-frame GT infos; attribute error
+        # is scored only by the official devkit path
+        out["attr_err"] = 1.0
+    return out
+
+
+# --------------------------------------------------------------- entry point
+
+
+def evaluate(dataset, detections: dict, output_dir=None, class_names=None) -> dict:
+    """Full evaluation: write the submission JSON, then score (devkit when
+    available, self-contained protocol otherwise)."""
+    output_dir = Path(output_dir or "results")
+    output_dir.mkdir(parents=True, exist_ok=True)
+    infos_by_token = {info["token"]: info for info in dataset.infos}
+
+    submission = detections_to_submission(infos_by_token, detections, class_names)
+    res_path = output_dir / "results_nusc.json"
+    with open(res_path, "w") as f:
+        json.dump(submission, f)
+
+    try:
+        return _evaluate_devkit(dataset, res_path, output_dir, class_names)
+    except ImportError:
+        pass
+
+    # self-contained protocol path: needs GT in the infos
+    gt_by_token = {}
+    for token, info in infos_by_token.items():
+        if token not in detections:
+            continue
+        if "gt_boxes" not in info:
+            return {
+                "nusc": "submission written to %s; metric skipped (no devkit "
+                "and val infos carry no gt_boxes)" % res_path
+            }
+        gt_by_token[token] = {
+            "gt_boxes": np.asarray(info["gt_boxes"]),
+            "gt_names": np.asarray(info["gt_names"]),
+        }
+    metrics = evaluate_protocol(gt_by_token, detections, class_names)
+
+    with open(output_dir / "metrics_summary.json", "w") as f:
+        json.dump(metrics, f, indent=2)
+
+    lines = [f"mAP: {metrics['mean_ap']:.4f}  NDS: {metrics['nd_score']:.4f}"]
+    for name in class_names:
+        aps = metrics["label_aps"][name]
+        lines.append(
+            f"{name}: " + ", ".join(f"AP@{k}m {v * 100:.2f}" for k, v in aps.items())
+        )
+    return {"nusc": "\n".join(lines), "mean_ap": metrics["mean_ap"],
+            "nd_score": metrics["nd_score"]}
+
+
+def _evaluate_devkit(dataset, res_path, output_dir, class_names):
+    """Official devkit path (same flow as the reference nusc_common.py:486-497)."""
+    from nuscenes import NuScenes  # noqa: F401  (ImportError -> fallback)
+    from nuscenes.eval.detection.config import config_factory
+    from nuscenes.eval.detection.evaluate import NuScenesEval
+
+    eval_set_map = {"v1.0-mini": "mini_val", "v1.0-trainval": "val", "v1.0-test": "test"}
+    nusc = NuScenes(version=dataset.version, dataroot=str(dataset._root_path), verbose=False)
+    nusc_eval = NuScenesEval(
+        nusc,
+        config=config_factory("detection_cvpr_2019"),
+        result_path=str(res_path),
+        eval_set=eval_set_map[dataset.version],
+        output_dir=str(output_dir),
+    )
+    nusc_eval.main(plot_examples=0, render_curves=False)
+    with open(Path(output_dir) / "metrics_summary.json") as f:
+        metrics = json.load(f)
+    return {"nusc": json.dumps(metrics["mean_dist_aps"]),
+            "mean_ap": metrics["mean_ap"], "nd_score": metrics["nd_score"]}

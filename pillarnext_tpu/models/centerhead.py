@@ -1,0 +1,305 @@
+"""Multi-task-group CenterPoint head, decode, and on-device post-processing.
+
+Capability parity with the reference CenterHead/SepHead
+(det3d/models/heads/centerhead.py:12-384), redesigned for XLA:
+
+- The per-sample, per-class Python NMS loop with dynamic boolean masking
+  (centerhead.py:332-384) becomes a fully batched, fixed-size pipeline:
+  masks demote scores to NEG_INF, NMS is the static on-device kernel
+  (core/nms.py), and every output is (B, max_dets) with a validity mask.
+- The IoU-loss box decode (centerhead.py:171-205) is performed at the M
+  gathered center indices instead of densely over H*W — pointwise decode
+  commutes with gather, so the math is identical and ~200x cheaper.
+- Feature maps are NHWC.
+
+Head layout (centerhead.py:105-126): shared 3x3 conv(+BN+ReLU); per task
+group an optional transpose-conv upsample (stride > 1) and one 3x3-conv
+branch per output {reg, height, dim, rot, vel[, iou], hm}, hm's final bias
+initialized to -2.19.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from pillarnext_tpu.core import nms as nms_lib
+from pillarnext_tpu.models import losses
+from pillarnext_tpu.models.layers import ConvTransposeBlock, MLPHead
+
+NEG_INF = nms_lib.NEG_INF
+
+
+class SepHead(nn.Module):
+    """One task group's branch bank (reference centerhead.py:12-57)."""
+
+    heads: Mapping[str, tuple[int, int]]  # name -> (out_channels, num_conv)
+    stride: int = 1
+    head_conv: int = 64
+    init_bias: float = -2.19
+    final_kernel: int = 3
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.stride > 1:
+            x = ConvTransposeBlock(
+                self.head_conv, self.stride, axis_name=self.axis_name, dtype=self.dtype
+            )(x, train)
+        out = {}
+        for name, (channels, num_conv) in self.heads.items():
+            out[name] = MLPHead(
+                channels,
+                num_conv,
+                head_conv=self.head_conv,
+                final_bias_init=self.init_bias if name == "hm" else 0.0,
+                kernel_size=self.final_kernel,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                name=name,
+            )(x, train)
+        return out
+
+
+class CenterHead(nn.Module):
+    in_channels: int
+    tasks: Sequence[Sequence[str]]  # class names per task group
+    weight: float
+    code_weights: Sequence[float]
+    common_heads: Mapping[str, Sequence[int]]
+    strides: Sequence[int]
+    init_bias: float = -2.19
+    share_conv_channel: int = 64
+    num_hm_conv: int = 2
+    with_reg_iou: bool = False
+    voxel_size: Sequence[float] | None = None
+    pc_range: Sequence[float] | None = None
+    out_size_factor: Sequence[int] | None = None
+    rectifier: Sequence[Sequence[float]] = ()
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @property
+    def num_classes(self):
+        return [len(t) for t in self.tasks]
+
+    @property
+    def with_iou(self):
+        return "iou" in self.common_heads
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.share_conv_channel, (3, 3), padding="SAME", use_bias=True,
+            dtype=self.dtype, name="shared_conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name if train else None,
+            dtype=jnp.float32,
+            name="shared_bn",
+        )(x)
+        x = nn.relu(x)
+
+        outs = []
+        for task_id, (num_cls, stride) in enumerate(zip(self.num_classes, self.strides)):
+            heads = {k: (int(v[0]), int(v[1])) for k, v in self.common_heads.items()}
+            heads["hm"] = (num_cls, self.num_hm_conv)
+            outs.append(
+                SepHead(
+                    heads,
+                    stride=int(stride),
+                    head_conv=self.share_conv_channel,
+                    init_bias=self.init_bias,
+                    axis_name=self.axis_name,
+                    dtype=self.dtype,
+                    name=f"task_{task_id}",
+                )(x, train)
+            )
+        return outs
+
+    # ---------------- loss ----------------
+
+    def _decode_at_inds(self, preds, ind, task_id):
+        """Decode [x, y, z, dx, dy, dz, yaw] boxes at flat center indices
+        (identical pointwise math to centerhead.py:171-205, applied post-
+        gather)."""
+        w = preds["hm"].shape[2]
+        reg = losses.gather_feature_map(preds["reg"].astype(jnp.float32), ind)
+        hei = losses.gather_feature_map(preds["height"].astype(jnp.float32), ind)
+        dim = jnp.exp(
+            jnp.clip(
+                losses.gather_feature_map(preds["dim"].astype(jnp.float32), ind),
+                -5.0,
+                5.0,
+            )
+        )
+        rot = losses.gather_feature_map(preds["rot"].astype(jnp.float32), ind)
+        yaw = jnp.arctan2(rot[..., 0:1], rot[..., 1:2])
+
+        xs = (ind % w).astype(jnp.float32)[..., None] + reg[..., 0:1]
+        ys = (ind // w).astype(jnp.float32)[..., None] + reg[..., 1:2]
+        factor = float(self.out_size_factor[task_id])
+        xs = xs * factor * self.voxel_size[0] + self.pc_range[0]
+        ys = ys * factor * self.voxel_size[1] + self.pc_range[1]
+        return jnp.concatenate([xs, ys, hei, dim, yaw], axis=-1)  # (B, M, 7)
+
+    def loss(self, example, preds_dicts):
+        """Total loss + per-task log dicts (reference centerhead.py:142-229).
+
+        ``example`` carries per-task lists: hm (B,H,W,C), ind/mask/cat (B,M),
+        anno_box (B,M,10), gt_boxes (B,M,7).
+        """
+        total_loss = 0.0
+        logs = []
+        code_weights = jnp.asarray(self.code_weights, jnp.float32)
+        for task_id, preds in enumerate(preds_dicts):
+            hm = jnp.clip(
+                jax.nn.sigmoid(preds["hm"].astype(jnp.float32)), 1e-4, 1 - 1e-4
+            )
+            ind = example["ind"][task_id]
+            mask = example["mask"][task_id]
+            hm_loss = losses.fast_focal_loss(
+                hm, example["hm"][task_id], ind, mask, example["cat"][task_id]
+            )
+
+            # anno order: [reg(2), height(1), dim(3), vel(2), rot(2)]
+            anno_pred = jnp.concatenate(
+                [
+                    preds["reg"],
+                    preds["height"],
+                    preds["dim"],
+                    preds["vel"],
+                    preds["rot"],
+                ],
+                axis=-1,
+            ).astype(jnp.float32)
+            box_loss = losses.reg_loss(
+                anno_pred, mask, ind, example["anno_box"][task_id]
+            )
+            loc_loss = (box_loss * code_weights).sum()
+
+            task_loss = hm_loss + self.weight * loc_loss
+            log = {
+                "task": "_".join(self.tasks[task_id]),
+                "hm_loss": hm_loss,
+                "loc_loss": loc_loss,
+                "loc_loss_elem": box_loss,
+                "num_positive": mask.sum(),
+            }
+
+            if self.with_iou or self.with_reg_iou:
+                boxes7 = self._decode_at_inds(preds, ind, task_id)
+                gt7 = example["gt_boxes"][task_id]
+                if self.with_iou:
+                    iou_loss = losses.iou_pred_loss(
+                        preds["iou"].astype(jnp.float32),
+                        mask,
+                        ind,
+                        jax.lax.stop_gradient(boxes7),
+                        gt7,
+                    )
+                    task_loss = task_loss + iou_loss
+                    log["iou_loss"] = iou_loss
+                if self.with_reg_iou:
+                    iou_reg = losses.iou_reg_loss(boxes7, mask, gt7)
+                    task_loss = task_loss + self.weight * iou_reg
+                    log["iou_reg_loss"] = iou_reg
+
+            log["loss"] = task_loss
+            logs.append(log)
+            total_loss = total_loss + task_loss
+        return total_loss, logs
+
+    # ---------------- predict ----------------
+
+    def predict(self, preds_dicts, test_cfg):
+        """Decode + per-class NMS, fixed-size output (centerhead.py:231-384).
+
+        Returns dict of arrays over the merged task groups:
+          box3d_lidar (B, D, 9), scores (B, D), label_preds (B, D),
+          valid (B, D) — D = sum over tasks/classes of nms_post_max_size.
+        """
+        all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+        post_range = jnp.asarray(test_cfg["post_center_limit_range"], jnp.float32)
+        label_offset = 0
+
+        for task_id, preds in enumerate(preds_dicts):
+            b, h, w, num_cls = preds["hm"].shape
+            hm = jax.nn.sigmoid(preds["hm"].astype(jnp.float32)).reshape(b, h * w, num_cls)
+            dim = jnp.exp(preds["dim"].astype(jnp.float32)).reshape(b, h * w, 3)
+            rot = preds["rot"].astype(jnp.float32).reshape(b, h * w, 2)
+            yaw = jnp.arctan2(rot[..., 0:1], rot[..., 1:2])
+            reg = preds["reg"].astype(jnp.float32).reshape(b, h * w, 2)
+            hei = preds["height"].astype(jnp.float32).reshape(b, h * w, 1)
+            vel = preds["vel"].astype(jnp.float32).reshape(b, h * w, 2)
+            if "iou" in preds:
+                iou = (preds["iou"].astype(jnp.float32).reshape(b, h * w) + 1.0) * 0.5
+            else:
+                iou = jnp.ones((b, h * w), jnp.float32)
+
+            cols = jnp.arange(h * w, dtype=jnp.float32) % w
+            rows = jnp.floor(jnp.arange(h * w, dtype=jnp.float32) / w)
+            factor = float(test_cfg["out_size_factor"][task_id])
+            xs = (cols[None, :, None] + reg[..., 0:1]) * factor * test_cfg["voxel_size"][0] + test_cfg["pc_range"][0]
+            ys = (rows[None, :, None] + reg[..., 1:2]) * factor * test_cfg["voxel_size"][1] + test_cfg["pc_range"][1]
+
+            boxes9 = jnp.concatenate([xs, ys, hei, dim, vel, yaw], axis=-1)
+
+            scores = hm.max(axis=-1)
+            labels = hm.argmax(axis=-1)
+            in_range = jnp.all(boxes9[..., :3] >= post_range[:3], axis=-1) & jnp.all(
+                boxes9[..., :3] <= post_range[3:], axis=-1
+            )
+            score_ok = scores > float(test_cfg["score_threshold"])
+            base_valid = in_range & score_ok
+
+            iou_c = jnp.clip(iou, 0.0, 1.0)
+            rect = jnp.asarray(self.rectifier[task_id], jnp.float32)[labels]
+            rect_scores = jnp.power(scores, 1.0 - rect) * jnp.power(iou_c, rect)
+
+            nms_cfg = test_cfg["nms"]
+            pre = int(nms_cfg["nms_pre_max_size"])
+            post = int(nms_cfg["nms_post_max_size"])
+            nms_type = test_cfg.get("nms_type", "iou3d")
+
+            for cls_id in range(num_cls):
+                cls_scores = jnp.where(
+                    base_valid & (labels == cls_id), rect_scores, NEG_INF
+                )
+                thresh = float(nms_cfg["nms_iou_threshold"][task_id][cls_id])
+
+                def run_one(boxes_s, scores_s):
+                    if nms_type == "circle":
+                        return nms_lib.circle_nms(
+                            boxes_s[:, :2], scores_s, thresh, pre, post
+                        )
+                    nms_boxes = boxes_s[:, [0, 1, 2, 3, 4, 5, 8]]
+                    return nms_lib.rotated_nms(nms_boxes, scores_s, thresh, pre, post)
+
+                sel, sel_valid = jax.vmap(run_one)(boxes9, cls_scores)
+                all_boxes.append(jnp.take_along_axis(boxes9, sel[..., None], axis=1))
+                all_scores.append(jnp.take_along_axis(cls_scores, sel, axis=1))
+                all_labels.append(
+                    jnp.full(sel.shape, label_offset + cls_id, jnp.int32)
+                )
+                all_valid.append(sel_valid)
+            label_offset += num_cls
+
+        return {
+            "box3d_lidar": jnp.concatenate(all_boxes, axis=1),
+            "scores": jnp.where(
+                jnp.concatenate(all_valid, axis=1),
+                jnp.concatenate(all_scores, axis=1),
+                0.0,
+            ),
+            "label_preds": jnp.concatenate(all_labels, axis=1),
+            "valid": jnp.concatenate(all_valid, axis=1),
+        }

@@ -1,0 +1,54 @@
+"""Device mesh + sharding helpers.
+
+The reference's distributed layer is NCCL DDP + SyncBatchNorm + object
+all-gather (SURVEY.md §2.7).  The TPU-native equivalent is compiled into the
+program: a 1-D ``data`` mesh over all devices (ICI within a slice, DCN across
+slices), batch arrays sharded on axis 0, parameters/optimizer state
+replicated.  Under global-view ``jit``:
+
+- gradient all-reduce appears automatically (replicated params, sharded batch),
+- BatchNorm statistics reduce over the *global* batch — exactly
+  SyncBatchNorm's semantics (reference tools/train.py:55-60) with no
+  axis_name plumbing,
+- the eval gather is just reading the globally-addressable output.
+
+Multi-host rendezvous is ``jax.distributed.initialize()`` (tools/train.py's
+``init_process_group`` analogue) — see train/trainer.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 (batch) across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch dict onto the mesh, batch-dim sharded.
+
+    Works in single-process (global arrays) and multi-process (per-host
+    shards assembled into global arrays via make_array_from_process_local_data).
+    """
+    sharding = batch_sharding(mesh, axis)
+
+    def _place(x):
+        x = np.asarray(x)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(_place, batch)

@@ -1,0 +1,44 @@
+"""Config -> objects: model, datasets, loaders, optimizer.
+
+The glue the reference spreads across tools/train.py:44-70 (hydra
+instantiate calls + scheduler steps_per_epoch injection + SyncBN conversion).
+SyncBatchNorm needs no conversion here: under global-view jit the BN batch
+statistics already reduce over the full global batch (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+from pillarnext_tpu.utils.config import instantiate
+
+
+def build_model(model_cfg: dict):
+    """Instantiate the detector flax module from the resolved model config."""
+    cfg = copy.deepcopy(model_cfg)
+    cfg.pop("sync_batchnorm", None)  # implicit under global-view jit
+    return instantiate(cfg)
+
+
+def build_dataset(ds_cfg: dict):
+    return instantiate(ds_cfg)
+
+
+def build_optimizer(cfg: dict, steps_per_epoch: int):
+    """AdamW + OneCycle from the optimizer/scheduler config groups
+    (reference injects epochs/steps_per_epoch at tools/train.py:66-68)."""
+    from pillarnext_tpu.train.train_state import make_optimizer
+
+    sched = cfg["scheduler"]
+    opt = cfg["optimizer"]
+    total_steps = int(sched["epochs"]) * int(steps_per_epoch)
+    return make_optimizer(
+        max_lr=float(sched["max_lr"]),
+        total_steps=max(total_steps, 1),
+        betas=tuple(opt.get("betas", (0.9, 0.99))),
+        weight_decay=float(opt.get("weight_decay", 0.01)),
+        div_factor=float(sched.get("div_factor", 10.0)),
+        pct_start=float(sched.get("pct_start", 0.4)),
+        clip_grad_val=float(cfg["trainer"].get("clip_grad_val", 0.0)),
+    )

@@ -7,7 +7,10 @@ exercised without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (remote TPU via
+# tunnel), which must never be used for the test suite — single-chip, high
+# latency, and shared with the bench runner.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
