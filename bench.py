@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""End-to-end inference benchmark on the flagship model (PillarNeXt-B,
+nuScenes config): points -> pillar scatter -> PFN -> dense ResNet18 -> ASPP ->
+CenterHead decode -> on-device rotated NMS, full 1344x1344 pillar grid.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no in-repo throughput number
+(SURVEY.md §6); the comparison point is the reference PillarNeXt-B end-to-end
+rate on an A100 (~16 fps: ~62 ms/frame network + host NMS, per the CVPR 2023
+paper's timing setup).  vs_baseline = value / 16.0.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+REFERENCE_A100_FPS = 16.0
+BATCH = 1
+N_POINTS = 200_000
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pillarnext_tpu.utils import builders
+    from pillarnext_tpu.utils.config import load_experiment
+
+    cfg = load_experiment(
+        REPO / "pillarnext_tpu/configs/experiments/nusc_det_pp18_aspp_iou_sp.yaml"
+    )
+    model = builders.build_model(cfg["model"])
+
+    rng = np.random.default_rng(0)
+    pc = cfg["model"]["reader"]["pc_range"]
+    pts = np.zeros((BATCH, N_POINTS, 5), np.float32)
+    pts[..., 0] = rng.uniform(pc[0], pc[3], (BATCH, N_POINTS))
+    pts[..., 1] = rng.uniform(pc[1], pc[4], (BATCH, N_POINTS))
+    pts[..., 2] = rng.uniform(-3.0, 1.0, (BATCH, N_POINTS))
+    pts[..., 3] = rng.uniform(0, 1, (BATCH, N_POINTS))
+    pts[..., 4] = rng.uniform(0, 0.5, (BATCH, N_POINTS))
+    mask = np.ones((BATCH, N_POINTS), bool)
+
+    pts_j = jnp.asarray(pts)
+    mask_j = jnp.asarray(mask)
+    variables = model.init(jax.random.PRNGKey(0), pts_j[:1], mask_j[:1])
+
+    @jax.jit
+    def predict(v, points, points_mask):
+        return model.apply(
+            v, {"points": points, "points_mask": points_mask}, method=model.predict
+        )
+
+    # NOTE: under the axon tunnel, block_until_ready does not synchronize —
+    # fetching the (tiny) output arrays is the only honest fence.
+    def run_and_fetch():
+        out = predict(variables, pts_j, mask_j)
+        return np.asarray(out["scores"]).sum()
+
+    for _ in range(WARMUP):
+        run_and_fetch()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        run_and_fetch()
+    dt = time.perf_counter() - t0
+
+    fps = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pillarnext_b_nusc_e2e_inference",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / REFERENCE_A100_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -34,48 +34,71 @@ def box_corners_bev(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([gx, gy], axis=-1)
 
 
-def _clip_by_halfplane(verts, valid, q0, q1):
-    """One Sutherland–Hodgman pass: clip (V, 2) ``verts`` (``valid`` mask marks
-    a compacted prefix) against the left half-plane of directed edge q0->q1.
+def _clip_by_halfplane(vx, vy, n, q0, q1):
+    """One Sutherland–Hodgman pass in scalar ("register") form.
 
-    Returns compacted (V, 2) verts and (V,) valid mask.
+    ``vx``/``vy`` are Python lists of _MAX_VERTS scalar coordinates holding a
+    compacted ring of ``n`` (traced scalar) vertices; the ring is clipped
+    against the left half-plane of directed edge q0->q1.
+
+    Everything here is scalar arithmetic + selects — under a pair-wise vmap
+    these become (P,)-elementwise ops that XLA fuses into a single kernel
+    with NO large intermediates.  (A first version used cumsum + one-hot
+    matmul compaction; its (P, 16) intermediates made NMS HBM-bound.)
     """
-    v = verts.shape[0]
-    n = valid.sum()
-    idx = jnp.arange(v)
-    nxt_idx = jnp.where(idx + 1 >= n, 0, idx + 1)
-    cur = verts
-    nxt = verts[nxt_idx]
+    v = _MAX_VERTS
+    ex, ey = q1[0] - q0[0], q1[1] - q0[1]
 
-    edge = q1 - q0
-    # signed distance ~ cross(edge, p - q0); >= 0 is inside (left of edge)
-    def side(p):
-        return edge[0] * (p[..., 1] - q0[1]) - edge[1] * (p[..., 0] - q0[0])
+    def side(px, py):
+        return ex * (py - q0[1]) - ey * (px - q0[0])
 
-    s_cur = side(cur)
-    s_nxt = side(nxt)
-    cur_in = s_cur >= 0
-    nxt_in = s_nxt >= 0
+    s = [side(vx[i], vy[i]) for i in range(v)]
+    inside = [si >= 0 for si in s]
 
-    # segment/half-plane intersection point (guard 0-division when parallel)
-    denom = s_cur - s_nxt
-    t = s_cur / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    inter = cur + t[:, None] * (nxt - cur)
+    # ring successor under dynamic count n (i static, n traced)
+    def nxt(i):
+        if i + 1 < v:
+            wrap = n == i + 1
+            return (
+                jnp.where(wrap, vx[0], vx[i + 1]),
+                jnp.where(wrap, vy[0], vy[i + 1]),
+                jnp.where(wrap, s[0], s[i + 1]),
+                jnp.where(wrap, inside[0], inside[i + 1]),
+            )
+        return vx[0], vy[0], s[0], inside[0]
 
-    active = idx < n
-    # emission slots: 2i -> cur (if inside), 2i+1 -> intersection (if crossing)
-    emit_pts = jnp.zeros((2 * v, 2), verts.dtype)
-    emit_pts = emit_pts.at[0::2].set(cur)
-    emit_pts = emit_pts.at[1::2].set(inter)
-    emit_ok = jnp.zeros((2 * v,), bool)
-    emit_ok = emit_ok.at[0::2].set(active & cur_in)
-    emit_ok = emit_ok.at[1::2].set(active & (cur_in != nxt_in))
+    # emit up to 2 points per edge: current vertex (if inside) + crossing
+    emit_x, emit_y, emit_ok = [], [], []
+    for i in range(v):
+        active = n > i
+        nx_, ny_, ns_, nin_ = nxt(i)
+        denom = s[i] - ns_
+        t = s[i] / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        ix = vx[i] + t * (nx_ - vx[i])
+        iy = vy[i] + t * (ny_ - vy[i])
+        emit_x += [vx[i], ix]
+        emit_y += [vy[i], iy]
+        emit_ok += [active & inside[i], active & (inside[i] != nin_)]
 
-    # stable compaction: valid entries first, original order preserved
-    order = jnp.argsort(~emit_ok, stable=True)
-    emit_pts = emit_pts[order][:v]
-    emit_ok = emit_ok[order][:v]
-    return emit_pts, emit_ok
+    # order-preserving compaction: emitted slot i lands at position
+    # pos_i = #emitted before i; out[j] = sum_i [ok_i & pos_i == j] * pt_i
+    pos = []
+    run = None
+    for ok in emit_ok:
+        pos.append(run if run is not None else jnp.zeros_like(ok, jnp.int32))
+        inc = ok.astype(jnp.int32)
+        run = inc if run is None else run + inc
+    out_x, out_y = [], []
+    zero = jnp.zeros_like(vx[0])
+    for j in range(v):
+        ox, oy = zero, zero
+        for i in range(2 * v):
+            hit = emit_ok[i] & (pos[i] == j)
+            ox = jnp.where(hit, emit_x[i], ox)
+            oy = jnp.where(hit, emit_y[i], oy)
+        out_x.append(ox)
+        out_y.append(oy)
+    return out_x, out_y, run
 
 
 def _pair_overlap_bev(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
@@ -83,20 +106,22 @@ def _pair_overlap_bev(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
     ca = box_corners_bev(box_a)  # (4, 2) CCW
     cb = box_corners_bev(box_b)
 
-    verts = jnp.zeros((_MAX_VERTS, 2), box_a.dtype).at[:4].set(ca)
-    valid = jnp.zeros((_MAX_VERTS,), bool).at[:4].set(True)
+    zero = jnp.zeros((), box_a.dtype)
+    vx = [ca[i, 0] for i in range(4)] + [zero] * (_MAX_VERTS - 4)
+    vy = [ca[i, 1] for i in range(4)] + [zero] * (_MAX_VERTS - 4)
+    n = jnp.asarray(4, jnp.int32)
     for k in range(4):
-        verts, valid = _clip_by_halfplane(verts, valid, cb[k], cb[(k + 1) % 4])
+        vx, vy, n = _clip_by_halfplane(vx, vy, n, cb[k], cb[(k + 1) % 4])
 
-    n = valid.sum()
-    # shoelace over the compacted prefix, fanned from vertex 0
-    v0 = verts[0]
-    d = verts - v0
-    idx = jnp.arange(_MAX_VERTS)
-    nxt = jnp.where(idx + 1 >= n, 0, idx + 1)
-    crosses = d[:, 0] * d[nxt, 1] - d[:, 1] * d[nxt, 0]
-    area = 0.5 * jnp.abs(jnp.where(idx < n, crosses, 0.0).sum())
-    return jnp.where(n >= 3, area, 0.0)
+    # shoelace over the ring (fan from vertex 0); slot i contributes while
+    # i+1 < n (the wrap edge closes the fan with zero area)
+    area = zero
+    for i in range(1, _MAX_VERTS - 1):
+        tri = (vx[i] - vx[0]) * (vy[i + 1] - vy[0]) - (vy[i] - vy[0]) * (
+            vx[i + 1] - vx[0]
+        )
+        area = area + jnp.where(n > i + 1, tri, 0.0)
+    return jnp.where(n >= 3, 0.5 * jnp.abs(area), 0.0)
 
 
 @jax.jit

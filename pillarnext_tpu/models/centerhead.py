@@ -187,8 +187,9 @@ class CenterHead(nn.Module):
             loc_loss = (box_loss * code_weights).sum()
 
             task_loss = hm_loss + self.weight * loc_loss
+            # (task names are attached by the trainer when formatting — jit
+            # outputs must be arrays)
             log = {
-                "task": "_".join(self.tasks[task_id]),
                 "hm_loss": hm_loss,
                 "loc_loss": loc_loss,
                 "loc_loss_elem": box_loss,
@@ -270,27 +271,40 @@ class CenterHead(nn.Module):
             post = int(nms_cfg["nms_post_max_size"])
             nms_type = test_cfg.get("nms_type", "iou3d")
 
-            for cls_id in range(num_cls):
-                cls_scores = jnp.where(
-                    base_valid & (labels == cls_id), rect_scores, NEG_INF
-                )
-                thresh = float(nms_cfg["nms_iou_threshold"][task_id][cls_id])
+            # one vmapped NMS over (batch x class) lanes; per-class IoU
+            # thresholds ride along as a traced scalar per lane
+            cls_ids = jnp.arange(num_cls)
+            lane_scores = jnp.where(
+                base_valid[..., None] & (labels[..., None] == cls_ids),
+                rect_scores[..., None],
+                NEG_INF,
+            )  # (B, HW, C)
+            lane_scores = lane_scores.transpose(0, 2, 1).reshape(b * num_cls, h * w)
+            lane_boxes = jnp.broadcast_to(
+                boxes9[:, None], (b, num_cls, h * w, 9)
+            ).reshape(b * num_cls, h * w, 9)
+            lane_thresh = jnp.tile(
+                jnp.asarray(nms_cfg["nms_iou_threshold"][task_id], jnp.float32), b
+            )
 
-                def run_one(boxes_s, scores_s):
-                    if nms_type == "circle":
-                        return nms_lib.circle_nms(
-                            boxes_s[:, :2], scores_s, thresh, pre, post
-                        )
-                    nms_boxes = boxes_s[:, [0, 1, 2, 3, 4, 5, 8]]
-                    return nms_lib.rotated_nms(nms_boxes, scores_s, thresh, pre, post)
+            def run_one(boxes_s, scores_s, th):
+                if nms_type == "circle":
+                    return nms_lib.circle_nms(boxes_s[:, :2], scores_s, th, pre, post)
+                nms_boxes = boxes_s[:, [0, 1, 2, 3, 4, 5, 8]]
+                return nms_lib.rotated_nms(nms_boxes, scores_s, th, pre, post)
 
-                sel, sel_valid = jax.vmap(run_one)(boxes9, cls_scores)
-                all_boxes.append(jnp.take_along_axis(boxes9, sel[..., None], axis=1))
-                all_scores.append(jnp.take_along_axis(cls_scores, sel, axis=1))
-                all_labels.append(
-                    jnp.full(sel.shape, label_offset + cls_id, jnp.int32)
-                )
-                all_valid.append(sel_valid)
+            sel, sel_valid = jax.vmap(run_one)(lane_boxes, lane_scores, lane_thresh)
+            sel = sel.reshape(b, num_cls * post)
+            sel_valid = sel_valid.reshape(b, num_cls * post)
+            all_boxes.append(jnp.take_along_axis(boxes9, sel[..., None], axis=1))
+            all_scores.append(jnp.take_along_axis(rect_scores, sel, axis=1))
+            all_labels.append(
+                jnp.broadcast_to(
+                    (label_offset + cls_ids[:, None]).astype(jnp.int32),
+                    (num_cls, post),
+                ).reshape(1, -1).repeat(b, axis=0)
+            )
+            all_valid.append(sel_valid)
             label_offset += num_cls
 
         return {
