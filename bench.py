@@ -25,7 +25,7 @@ REFERENCE_A100_FPS = 16.0
 BATCH = 1
 N_POINTS = 200_000
 WARMUP = 2
-ITERS = 10
+ITERS = 20
 
 
 def main():
@@ -62,17 +62,18 @@ def main():
         )
 
     # NOTE: under the axon tunnel, block_until_ready does not synchronize —
-    # fetching the (tiny) output arrays is the only honest fence.
-    def run_and_fetch():
-        out = predict(variables, pts_j, mask_j)
+    # fetching output arrays is the only honest fence.  Throughput is
+    # measured pipelined: dispatch all iterations, fence once at the end
+    # (per-call fetch would add one tunnel round-trip per batch).
+    def fetch(out):
         return np.asarray(out["scores"]).sum()
 
     for _ in range(WARMUP):
-        run_and_fetch()
+        fetch(predict(variables, pts_j, mask_j))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        run_and_fetch()
+    outs = [predict(variables, pts_j, mask_j) for _ in range(ITERS)]
+    fetch(outs[-1])
     dt = time.perf_counter() - t0
 
     fps = BATCH * ITERS / dt

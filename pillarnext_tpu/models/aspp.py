@@ -36,6 +36,8 @@ class ASPPNeck(nn.Module):
             (3, 3, c, c),
         )
         kernel = shared if self.dtype is None else shared.astype(self.dtype)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         dilated = [
             jax.lax.conv_general_dilated(
                 x,

@@ -103,7 +103,7 @@ class CenterHead(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.axis_name if train else None,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             name="shared_bn",
         )(x)
         x = nn.relu(x)

@@ -54,7 +54,7 @@ class ConvBlock(nn.Module):
             momentum=self.bn_momentum,
             epsilon=self.bn_eps,
             axis_name=self.axis_name if train else None,
-            dtype=jnp.float32,
+            dtype=self.dtype,
         )(x)
         return nn.relu(x)
 
@@ -110,7 +110,7 @@ class ConvTransposeBlock(nn.Module):
             momentum=self.bn_momentum,
             epsilon=self.bn_eps,
             axis_name=self.axis_name if train else None,
-            dtype=jnp.float32,
+            dtype=self.dtype,
         )(x)
         return nn.relu(x)
 
@@ -186,7 +186,7 @@ class MLPHead(nn.Module):
                 momentum=BN_MOMENTUM_DENSE,
                 epsilon=BN_EPS_DENSE,
                 axis_name=self.axis_name if train else None,
-                dtype=jnp.float32,
+                dtype=self.dtype,
             )(x)
             x = nn.relu(x)
         x = nn.Conv(

@@ -5,10 +5,14 @@ Capability parity with the reference PillarFeatureNet
 
 - The reference derives pillar membership with ``torch.unique`` (dynamic
   shapes).  Here the segment id of a point IS its linearized dense BEV index
-  ``b*H*W + y*W + x`` over a fixed-capacity padded point buffer, so the
-  per-pillar reductions are plain ``segment_sum/segment_max`` into a static
-  ``(B*H*W+1, C)`` table (dump row for invalid points) and the reference's
-  ``SparseConvTensor.dense()`` is a free reshape.
+  ``b*H*W + y*W + x`` over a fixed-capacity padded point buffer; one sort
+  assigns each occupied pillar a slot in a *compact* fixed-capacity table
+  (ops/compact.py) and yields the points in pillar order, so every
+  per-pillar reduction runs with ``indices_are_sorted=True`` over only
+  ~occupied rows (vs. the 1.8M-row dense grid — ~30x less scatter traffic).
+- The dense BEV image (the reference's ``SparseConvTensor.dense()``,
+  sparse_resnet.py:68) is produced by a single *gather* through a
+  dense->slot index map — TPU gathers are fast where scatters serialize.
 - Decorations match pillar_encoder.py:113-123: raw features (incl. xyz),
   cluster offsets from the per-pillar xyz mean, and center offsets from the
   pillar center (x, y only: +5 channels total).
@@ -29,11 +33,13 @@ from flax import linen as nn
 
 from pillarnext_tpu.models.layers import MaskedBatchNorm
 from pillarnext_tpu.ops import scatter
+from pillarnext_tpu.ops.compact import compactify
 from pillarnext_tpu.ops.voxelize import VoxelGrid, pillar_coords, pillar_segment_ids
 
 
 class PFNLayer(nn.Module):
-    """One Pillar Feature Net layer (pillar_encoder.py:15-50)."""
+    """One Pillar Feature Net layer (pillar_encoder.py:15-50) over a flat
+    pillar-sorted point buffer."""
 
     out_channels: int  # full width; halved internally unless last layer
     last_layer: bool = False
@@ -48,12 +54,12 @@ class PFNLayer(nn.Module):
         x = nn.relu(x)
         x = jnp.where(mask[..., None], x, 0.0)
 
-        flat = x.reshape(-1, units)
-        pillar_max = scatter.segment_max(flat, seg_ids.reshape(-1), num_segments)
+        pillar_max = scatter.segment_max(
+            x, seg_ids, num_segments, indices_are_sorted=True
+        )
         if self.last_layer:
             return pillar_max  # (num_segments, units)
-        x_max = pillar_max[seg_ids.reshape(-1)].reshape(x.shape)
-        return jnp.concatenate([x, x_max], axis=-1)
+        return jnp.concatenate([x, pillar_max[seg_ids]], axis=-1)
 
 
 class PillarFeatureNet(nn.Module):
@@ -63,6 +69,7 @@ class PillarFeatureNet(nn.Module):
     num_filters: Sequence[int]
     voxel_size: Sequence[float]
     pc_range: Sequence[float]
+    pillar_capacity: int = 131072  # compact slots per sample (~2x headroom)
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -85,43 +92,56 @@ class PillarFeatureNet(nn.Module):
         b, n, d = points.shape
         assert d == self.num_input_features, (d, self.num_input_features)
         hw = grid.num_pillars
-        num_segments = b * hw + 1
+        cap = min(self.pillar_capacity * b, hw * b)
 
         xyz = points[..., :3].reshape(-1, 3)
         flat_valid = mask.reshape(-1)
         px, py, flat_valid = pillar_coords(grid, xyz, flat_valid)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
         local_sid = pillar_segment_ids(grid, px, py, flat_valid)
-        seg_ids = jnp.where(flat_valid, batch_idx * hw + local_sid, b * hw)
+        dense_ids = jnp.where(flat_valid, batch_idx * hw + local_sid, b * hw)
+
+        # sort points by pillar, assign compact slots (dump slot = cap)
+        order, slot, slot_id = compactify(dense_ids, b * hw, cap)
+        num_segments = cap + 1
+
+        raw = points.reshape(-1, d).astype(jnp.float32)[order]
+        xyz_s = raw[:, :3]
+        valid_s = flat_valid[order]
+        px_s, py_s = px[order], py[order]
 
         # cluster offsets: xyz - per-pillar mean xyz (pillar_encoder.py:113-116)
-        xyz_f32 = xyz.astype(jnp.float32)
         mean_xyz = scatter.segment_mean(
-            jnp.where(flat_valid[:, None], xyz_f32, 0.0), seg_ids, num_segments
+            jnp.where(valid_s[:, None], xyz_s, 0.0),
+            slot,
+            num_segments,
+            indices_are_sorted=True,
         )
-        f_cluster = xyz_f32 - mean_xyz[seg_ids]
+        f_cluster = xyz_s - mean_xyz[slot]
 
         # center offsets from the pillar center (pillar_encoder.py:119-120)
         vs = jnp.asarray(grid.voxel_size[:2], jnp.float32)
         origin = jnp.asarray(grid.pc_range[:2], jnp.float32)
-        center = jnp.stack([px, py], axis=-1).astype(jnp.float32) * vs + vs / 2 + origin
-        f_center = xyz_f32[:, :2] - center
+        center = jnp.stack([px_s, py_s], axis=-1).astype(jnp.float32) * vs + vs / 2 + origin
+        f_center = xyz_s[:, :2] - center
 
-        feats = jnp.concatenate(
-            [points.reshape(-1, d).astype(jnp.float32), f_cluster, f_center], axis=-1
-        )
-        feats = jnp.where(flat_valid[:, None], feats, 0.0)
+        feats = jnp.concatenate([raw, f_cluster, f_center], axis=-1)
+        feats = jnp.where(valid_s[:, None], feats, 0.0)
         if self.dtype is not None:
             feats = feats.astype(self.dtype)
 
-        feats = feats.reshape(b, n, d + 5)
-        mask2d = flat_valid.reshape(b, n)
         for pfn in self.pfn_layers:
-            feats = pfn(feats, mask2d, seg_ids.reshape(b, n), num_segments, train)
+            feats = pfn(feats, valid_s, slot, num_segments, train)
 
-        # last PFN layer returned the pillar table directly
-        table = feats[: b * hw]  # drop dump row
-        return table.reshape(b, grid.size_y, grid.size_x, table.shape[-1])
+        # last PFN layer returned the (cap+1, C) compact pillar table whose
+        # dump row is all-zero; densify with one gather
+        table = feats
+        slot_of_dense = jnp.full((b * hw + 1,), cap, jnp.int32)
+        slot_of_dense = slot_of_dense.at[slot_id].set(
+            jnp.arange(cap, dtype=jnp.int32), mode="drop"
+        )
+        dense = table[slot_of_dense[: b * hw]]
+        return dense.reshape(b, grid.size_y, grid.size_x, table.shape[-1])
 
     @property
     def bev_shape(self):

@@ -99,7 +99,7 @@ class SparseResNet3D(nn.Module):
             momentum=BN_MOMENTUM_SPARSE,
             epsilon=BN_EPS_SPARSE,
             axis_name=self.axis_name if train else None,
-            dtype=jnp.float32,
+            dtype=self.dtype,
         )(x)
         return nn.relu(x)
 

@@ -1,0 +1,58 @@
+"""Static-shape compaction of sparse segment ids.
+
+The TPU-native replacement for ``torch.unique``-based dynamic voxelization
+(reference pillar_encoder.py:109-111): points carry dense-grid segment ids in
+[0, num_ids]; this assigns each occupied id a *compact slot* in a
+fixed-capacity table via one sort + prefix-sum — all static shapes, jittable.
+
+Why: per-pillar reductions into the full dense (B*H*W, C) table are
+HBM-bound (the table is ~30x larger than the occupied set).  Reducing into a
+(capacity, C) compact table instead cuts the scatter/gather traffic by that
+factor; the dense BEV image is written once at the end.
+
+Overflow policy: ids ranked beyond ``capacity`` (by sorted order) fall into
+the dump slot — matches the fixed-capacity contract of the rest of the
+pipeline.  nuScenes frames occupy ~30-60k of 1.8M pillars; capacity 2^17 per
+sample leaves ~2x headroom.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def compactify(
+    ids: jnp.ndarray, invalid_id: int, capacity: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Assign compact slots to sparse segment ids.
+
+    Args:
+        ids: (N,) int32 segment ids; ``invalid_id`` marks padded/out-of-range
+            entries (must sort AFTER every real id, i.e. be the maximum).
+        invalid_id: the dump id.
+        capacity: static number of compact slots.
+
+    Returns:
+        order: (N,) int32 sort permutation (points ordered by segment id) —
+            process point data in this order so downstream segment reductions
+            can use ``indices_are_sorted=True``.
+        sorted_slot: (N,) int32 in [0, capacity] — compact slot per *sorted*
+            point (``capacity`` = dump slot for invalid/overflow); ascending.
+        slot_id: (capacity,) int32 — the original segment id of each slot
+            (``invalid_id`` for unused slots).
+    """
+    order = jnp.argsort(ids)
+    sorted_ids = ids[order]
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    first = first & (sorted_ids != invalid_id)
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1  # compact rank in id order
+    rank = jnp.where(
+        (sorted_ids == invalid_id) | (rank >= capacity), capacity, rank
+    )
+
+    slot_id = jnp.full((capacity + 1,), invalid_id, jnp.int32)
+    slot_id = slot_id.at[rank].set(sorted_ids, mode="drop")
+    return order, rank, slot_id[:capacity]

@@ -20,26 +20,52 @@ import jax.numpy as jnp
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
-def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
     """Sum of ``data`` rows per segment; (num_segments, C)."""
-    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_sum(
+        data,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
 
 
 def segment_mean(
-    data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     """Mean of ``data`` rows per segment (empty segments produce 0)."""
-    total = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
-    count = jax.ops.segment_sum(
-        jnp.ones((data.shape[0],), data.dtype), segment_ids, num_segments=num_segments
+    total = segment_sum(data, segment_ids, num_segments, indices_are_sorted)
+    count = segment_sum(
+        jnp.ones((data.shape[0],), data.dtype),
+        segment_ids,
+        num_segments,
+        indices_are_sorted,
     )
     return total / jnp.maximum(count, 1.0)[:, None]
 
 
-def segment_max(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+def segment_max(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
     """Max of ``data`` rows per segment (empty segments produce 0, matching
     torch_scatter's zero-init behavior on float inputs >= 0 after ReLU)."""
-    out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+    out = jax.ops.segment_max(
+        data,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
     # segment_max initializes empties to -inf; clamp like the reference's
     # zeros-filled dense() view of untouched pillars.
     return jnp.where(jnp.isfinite(out), out, 0.0)

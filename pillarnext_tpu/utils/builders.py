@@ -15,9 +15,22 @@ from pillarnext_tpu.utils.config import instantiate
 
 
 def build_model(model_cfg: dict):
-    """Instantiate the detector flax module from the resolved model config."""
+    """Instantiate the detector flax module from the resolved model config.
+
+    ``model.dtype`` ('bfloat16' | 'float32', default bfloat16) selects the
+    activation/compute dtype for every submodule; BatchNorm statistics and
+    the decode/NMS path stay float32 regardless.
+    """
+    import jax.numpy as jnp
+
     cfg = copy.deepcopy(model_cfg)
     cfg.pop("sync_batchnorm", None)  # implicit under global-view jit
+    dtype_name = cfg.pop("dtype", "bfloat16")
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None, None: None}[dtype_name]
+    if dtype is not None:
+        for key in ("reader", "backbone", "neck", "head"):
+            if isinstance(cfg.get(key), dict) and "_target_" in cfg[key]:
+                cfg[key].setdefault("dtype", dtype)
     return instantiate(cfg)
 
 
