@@ -65,11 +65,16 @@ def restore_into_state(state, payload: dict):
     like load_checkpoint(strict=True), checkpoint.py:8-44)."""
     import jax.numpy as jnp
 
+    # orbax round-trips tuples/namedtuples (optax states) as lists/dicts;
+    # rebuild through the live state's treedef by flattened leaf order.
+    leaves, treedef = jax.tree.flatten(state.opt_state)
+    new_leaves = jax.tree.leaves(payload["opt_state"])
+    assert len(leaves) == len(new_leaves), (len(leaves), len(new_leaves))
+    opt_state = jax.tree.unflatten(treedef, [jnp.asarray(x) for x in new_leaves])
+
     return state.replace(
         step=jnp.asarray(payload["meta"]["step"], jnp.int32),
         params=jax.tree.map(jnp.asarray, payload["params"]),
         batch_stats=jax.tree.map(jnp.asarray, payload["batch_stats"]),
-        opt_state=jax.tree.map(
-            lambda old, new: jnp.asarray(new), state.opt_state, payload["opt_state"]
-        ),
+        opt_state=opt_state,
     )

@@ -1,0 +1,130 @@
+"""End-to-end training tests on the virtual 8-device CPU mesh.
+
+The multi-device analogue of the reference's only distributed validation
+(real 8-GPU runs, SURVEY.md §4): data-parallel gradient reduction, global-
+batch (Sync) BN, checkpoint round-trip, and a single-batch overfit run.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pillarnext_tpu.parallel import mesh as mesh_lib
+from pillarnext_tpu.train import checkpoint as ckpt_lib
+from pillarnext_tpu.train import train_state as ts_lib
+
+from tests.test_models import synthetic_batch, tiny_detector
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = tiny_detector()
+    batch = synthetic_batch(batch=8, n_points=256)
+    example = {k: v for k, v in batch.items() if k != "token"}
+    tx, schedule = ts_lib.make_optimizer(max_lr=3e-3, total_steps=50)
+    state = ts_lib.create_train_state(model, example, jax.random.PRNGKey(0), tx)
+    return model, tx, schedule, state, example
+
+
+class TestTrainStep:
+    def test_loss_decreases_overfit(self, setup):
+        model, tx, _, state, example = setup
+        mesh = mesh_lib.make_mesh(jax.devices()[:1])
+        step = ts_lib.make_train_step(model, tx, mesh, donate=False)
+        batch = mesh_lib.shard_batch(example, mesh)
+        losses = []
+        for _ in range(12):
+            state, (scalars, _) = step(state, batch)
+            losses.append(float(scalars["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.7, losses
+
+    def test_multidevice_matches_single_device(self, setup):
+        """One step on 8 devices == one step on 1 device (same global batch):
+        gradient psum + global-batch BN must be bitwise-equivalent math."""
+        model, tx, _, state0, example = setup
+
+        mesh1 = mesh_lib.make_mesh(jax.devices()[:1])
+        mesh8 = mesh_lib.make_mesh(jax.devices()[:8])
+        step1 = ts_lib.make_train_step(model, tx, mesh1, donate=False)
+        step8 = ts_lib.make_train_step(model, tx, mesh8, donate=False)
+
+        s1, (sc1, _) = step1(state0, mesh_lib.shard_batch(example, mesh1))
+        s8, (sc8, _) = step8(state0, mesh_lib.shard_batch(example, mesh8))
+
+        assert float(sc1["loss"]) == pytest.approx(float(sc8["loss"]), rel=1e-5)
+        assert float(sc1["grad_norm"]) == pytest.approx(
+            float(sc8["grad_norm"]), rel=1e-2
+        )
+        # AdamW's first step is ~sign(grad)*lr, so a near-zero gradient whose
+        # sign flips under a different reduction order moves a weight by up to
+        # 2*lr0 — bound the comparison by that, not float eps.
+        lr0 = 3e-3 / 10.0
+        p1 = jax.tree.leaves(s1.params)
+        p8 = jax.tree.leaves(s8.params)
+        for a, b in zip(p1, p8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5 * lr0)
+        # BN running stats also reduced over the global batch identically
+        for a, b in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s8.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    def test_grad_clip_active(self, setup):
+        model, _, _, state, example = setup
+        # absurdly small clip: global grad norm of the update must be bounded
+        tx_clip, _ = ts_lib.make_optimizer(
+            max_lr=1e-3, total_steps=10, clip_grad_val=1e-6
+        )
+        state_c = ts_lib.create_train_state(
+            model, example, jax.random.PRNGKey(0), tx_clip
+        )
+        mesh = mesh_lib.make_mesh(jax.devices()[:1])
+        step = ts_lib.make_train_step(model, tx_clip, mesh, donate=False)
+        new_state, _ = step(state_c, mesh_lib.shard_batch(example, mesh))
+        # params must move by a vanishingly small amount
+        delta = sum(
+            float(jnp.abs(a - b).max())
+            for a, b in zip(
+                jax.tree.leaves(new_state.params), jax.tree.leaves(state_c.params)
+            )
+        )
+        assert delta < 1e-2
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, setup, tmp_path):
+        model, tx, _, state, example = setup
+        mesh = mesh_lib.make_mesh(jax.devices()[:1])
+        step = ts_lib.make_train_step(model, tx, mesh, donate=False)
+        state2, _ = step(state, mesh_lib.shard_batch(example, mesh))
+
+        path = ckpt_lib.save_checkpoint(tmp_path / "ckpts", epoch=3, state=state2)
+        assert path.name == "epoch_3"
+        assert ckpt_lib.latest_checkpoint(tmp_path / "ckpts") == path
+
+        payload = ckpt_lib.load_checkpoint(path)
+        assert payload["meta"]["epoch"] == 3
+        restored = ckpt_lib.restore_into_state(state, payload)
+        for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(restored.step) == int(state2.step)
+
+    def test_latest_of_many(self, setup, tmp_path):
+        model, tx, _, state, _ = setup
+        for e in (1, 2, 10):
+            ckpt_lib.save_checkpoint(tmp_path / "c", epoch=e, state=state)
+        assert ckpt_lib.latest_checkpoint(tmp_path / "c").name == "epoch_10"
+
+
+class TestSchedule:
+    def test_onecycle_shape(self):
+        _, schedule = ts_lib.make_optimizer(max_lr=0.002, total_steps=100)
+        lr0 = float(schedule(0))
+        peak = max(float(schedule(i)) for i in range(100))
+        end = float(schedule(99))
+        assert lr0 == pytest.approx(0.002 / 10.0, rel=1e-3)  # div_factor 10
+        assert peak == pytest.approx(0.002, rel=1e-2)
+        assert end < lr0  # anneals far below the initial lr
+        # peak at pct_start=0.4
+        assert float(schedule(40)) == pytest.approx(peak, rel=1e-2)
