@@ -43,6 +43,7 @@ class PFNLayer(nn.Module):
 
     out_channels: int  # full width; halved internally unless last layer
     last_layer: bool = False
+    sorted_ids: bool = True  # seg_ids ascending -> faster XLA scatter path
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -55,7 +56,7 @@ class PFNLayer(nn.Module):
         x = jnp.where(mask[..., None], x, 0.0)
 
         pillar_max = scatter.segment_max(
-            x, seg_ids, num_segments, indices_are_sorted=True
+            x, seg_ids, num_segments, indices_are_sorted=self.sorted_ids
         )
         if self.last_layer:
             return pillar_max  # (num_segments, units)

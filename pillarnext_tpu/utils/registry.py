@@ -34,6 +34,7 @@ def _builtin_registry() -> dict[str, Callable]:
         "pillarnext_tpu.models.SingleStageDetector": models.SingleStageDetector,
         "pillarnext_tpu.models.PillarFeatureNet": models.PillarFeatureNet,
         "pillarnext_tpu.models.VoxelFeatureNet": models.VoxelFeatureNet,
+        "pillarnext_tpu.models.MVFFeatureNet": models.MVFFeatureNet,
         "pillarnext_tpu.models.SparseResNet": models.SparseResNet,
         "pillarnext_tpu.models.SparseResNet3D": models.SparseResNet3D,
         "pillarnext_tpu.models.ASPPNeck": models.ASPPNeck,
@@ -53,6 +54,7 @@ def _builtin_registry() -> dict[str, Callable]:
         "det3d.models.detectors.single_stage.SingleStageDetector": "pillarnext_tpu.models.SingleStageDetector",
         "det3d.models.readers.pillar_encoder.PillarFeatureNet": "pillarnext_tpu.models.PillarFeatureNet",
         "det3d.models.readers.voxel_encoder.VoxelFeatureNet": "pillarnext_tpu.models.VoxelFeatureNet",
+        "det3d.models.readers.mvf_encoder.MVFFeatureNet": "pillarnext_tpu.models.MVFFeatureNet",
         "det3d.models.backbones.sparse_resnet.SparseResNet": "pillarnext_tpu.models.SparseResNet",
         "det3d.models.backbones.sparse_resnet3d.SparseResNet3D": "pillarnext_tpu.models.SparseResNet3D",
         "det3d.models.necks.aspp.ASPPNeck": "pillarnext_tpu.models.ASPPNeck",

@@ -1,0 +1,131 @@
+"""MVF / voxel reader forwards (tiny grids) + experiment-config composition."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pillarnext_tpu.models import MVFFeatureNet, SparseResNet3D, VoxelFeatureNet
+from pillarnext_tpu.utils import builders
+from pillarnext_tpu.utils.config import load_experiment
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "pillarnext_tpu/configs/experiments"
+
+
+class TestMVF:
+    def test_forward_shapes(self):
+        net = MVFFeatureNet(
+            in_channels=5,
+            voxel_size=[0.2, 0.2, 8],
+            pc_range=[-6.4, -6.4, -4.0, 6.4, 6.4, 4.0],
+            cylinder_size=[11.25, 0.5, 10],
+            cylinder_range=[-180, -4.0, 0, 180, 4.0, 10],
+            num_filters=[16, 16],
+            layer_nums=[1, 1],
+            ds_layer_strides=[1, 2],
+            ds_num_filters=[16, 32],
+            kernel_size=[3, 3],
+            out_channels=32,
+            pillar_capacity=1024,
+            cylinder_capacity=1024,
+        )
+        rng = np.random.default_rng(0)
+        pts = np.zeros((2, 256, 5), np.float32)
+        pts[..., :2] = rng.uniform(-6, 6, (2, 256, 2))
+        pts[..., 2] = rng.uniform(-3, 3, (2, 256))
+        mask = np.ones((2, 256), bool)
+        variables = net.init(jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(mask))
+        out = net.apply(variables, jnp.asarray(pts), jnp.asarray(mask))
+        # pillar grid 64x64, ds_rate 2 -> 32x32 BEV
+        assert out.shape == (2, 32, 32, 32)
+        assert np.isfinite(np.asarray(out)).all()
+        # occupied cells only where points exist
+        occ = np.abs(np.asarray(out[0])).sum(-1) > 0
+        assert 0 < occ.sum() < 32 * 32
+
+    def test_out_of_range_points_ignored(self):
+        net = MVFFeatureNet(
+            in_channels=5,
+            voxel_size=[0.2, 0.2, 8],
+            pc_range=[-6.4, -6.4, -4.0, 6.4, 6.4, 4.0],
+            cylinder_size=[11.25, 0.5, 10],
+            cylinder_range=[-180, -4.0, 0, 180, 4.0, 10],
+            num_filters=[8, 8],
+            layer_nums=[1],
+            ds_layer_strides=[1],
+            ds_num_filters=[8],
+            kernel_size=[3],
+            out_channels=8,
+            pillar_capacity=512,
+            cylinder_capacity=512,
+        )
+        pts = np.zeros((1, 32, 5), np.float32)
+        pts[0, :, 0] = 100.0  # everything out of range
+        mask = np.ones((1, 32), bool)
+        variables = net.init(jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(mask))
+        out = np.asarray(net.apply(variables, jnp.asarray(pts), jnp.asarray(mask)))
+        assert np.abs(out).sum() == 0
+
+
+class TestVoxelReader:
+    def test_voxel_mean_and_3d_backbone(self):
+        reader = VoxelFeatureNet(
+            voxel_size=[0.4, 0.4, 1.0], pc_range=[-3.2, -3.2, -2.0, 3.2, 3.2, 2.0]
+        )
+        backbone = SparseResNet3D(
+            layer_nums=(1, 1),
+            ds_layer_strides=(1, 2),
+            ds_num_filters=(8, 16),
+            num_input_features=5,
+            kernel_size=(3, 3),
+            out_channels=16,
+        )
+        pts = np.zeros((1, 64, 5), np.float32)
+        rng = np.random.default_rng(0)
+        pts[..., :2] = rng.uniform(-3, 3, (1, 64, 2))
+        pts[..., 2] = rng.uniform(-1.9, 1.9, (1, 64))
+        pts[..., 3] = 1.0
+        mask = np.ones((1, 64), bool)
+        vol = reader(jnp.asarray(pts), jnp.asarray(mask))
+        assert vol.shape == (1, 4, 16, 16, 5)  # (B, D, H, W, C)
+        # mean of intensity channel inside occupied voxels is 1
+        v = np.asarray(vol)
+        occupied = v[..., 3] > 0
+        np.testing.assert_allclose(v[..., 3][occupied], 1.0, atol=1e-6)
+
+        variables = backbone.init(jax.random.PRNGKey(0), vol)
+        out = backbone.apply(variables, vol)
+        # H/2, W/2, channels folded: D goes 4 -> 2 (stage stride) -> 1 (extra z)
+        assert out.shape[0] == 1 and out.shape[1] == 8 and out.shape[2] == 8
+        assert out.shape[3] == out.shape[3]  # C*D folded
+
+
+class TestExperimentConfigs:
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "nusc_det_pp18_aspp_iou_sp",
+            "nusc_det_voxel18_aspp_iou_sp",
+            "waymo_det_pp18_aspp_iou_car_sp",
+            "waymo_det_pp18_aspp_iou_car_sp_f1",
+            "waymo_det_mvf18_aspp_iou_car",
+        ],
+    )
+    def test_compose_and_build(self, name):
+        cfg = load_experiment(CONFIG_DIR / f"{name}.yaml")
+        model = builders.build_model(cfg["model"])
+        assert model.head is not None
+        n_tasks = len(cfg["_tasks"])
+        assert len(model.head.tasks) == n_tasks
+        assert len(cfg["model"]["post_processing"]["nms"]["nms_iou_threshold"]) == n_tasks
+        # scheduler interpolation wired to trainer epochs
+        assert cfg["scheduler"]["epochs"] == cfg["trainer"]["max_epochs"]
+
+    def test_f1_variant_overrides_sweeps(self):
+        cfg = load_experiment(CONFIG_DIR / "waymo_det_pp18_aspp_iou_car_sp_f1.yaml")
+        assert cfg["data"]["train_dataset"]["nsweeps"] == 1
+        assert cfg["data"]["train_dataset"]["drop_frames"] == 0
+        base = load_experiment(CONFIG_DIR / "waymo_det_pp18_aspp_iou_car_sp.yaml")
+        assert base["data"]["train_dataset"]["nsweeps"] == 3
