@@ -59,8 +59,49 @@ class ConvBlock(nn.Module):
         return nn.relu(x)
 
 
+class ResidualBlock(nn.Module):
+    """Sparse-style residual block (reference sparse_conv.py:42-63):
+    conv+BN+ReLU -> conv+BN -> +identity -> ReLU (no activation before the
+    add in the second branch) — used by the backbones and MVF view towers."""
+
+    features: int
+    kernel_size: int = 3
+    bn_eps: float = BN_EPS_SPARSE
+    bn_momentum: float = BN_MOMENTUM_SPARSE
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        x = ConvBlock(
+            self.features,
+            self.kernel_size,
+            bn_eps=self.bn_eps,
+            bn_momentum=self.bn_momentum,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+        )(x, train)
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_eps,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+        )(x)
+        return nn.relu(x + identity)
+
+
 class BasicBlock(nn.Module):
-    """Two ConvBlocks with a residual skip (reference conv.py:38-51)."""
+    """Two full ConvBlocks (ReLU in both) with a residual skip — the DENSE
+    block used by the ASPP neck (reference conv.py:38-51)."""
 
     features: int
     kernel_size: int = 3

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from pillarnext_tpu.models.layers import BasicBlock, ConvBlock, MaskedBatchNorm
+from pillarnext_tpu.models.layers import ConvBlock, MaskedBatchNorm, ResidualBlock
 from pillarnext_tpu.models.layers import BN_EPS_SPARSE, BN_MOMENTUM_SPARSE
 from pillarnext_tpu.models.pillar_encoder import PFNLayer
 from pillarnext_tpu.ops import scatter
@@ -120,11 +120,9 @@ class SingleView(nn.Module):
                 dtype=self.dtype,
             )(x, train)
             for _ in range(num_blocks):
-                x = BasicBlock(
+                x = ResidualBlock(
                     self.ds_num_filters[i],
                     kernel_size=self.kernel_size[i],
-                    bn_eps=BN_EPS_SPARSE,
-                    bn_momentum=BN_MOMENTUM_SPARSE,
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                 )(x, train)

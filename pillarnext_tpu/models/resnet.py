@@ -24,8 +24,8 @@ from flax import linen as nn
 from pillarnext_tpu.models.layers import (
     BN_EPS_SPARSE,
     BN_MOMENTUM_SPARSE,
-    BasicBlock,
     ConvBlock,
+    ResidualBlock,
 )
 
 
@@ -56,11 +56,9 @@ class SparseResNet(nn.Module):
                 dtype=self.dtype,
             )(x, train)
             for _ in range(num_blocks):
-                x = BasicBlock(
+                x = ResidualBlock(
                     self.ds_num_filters[i],
                     kernel_size=self.kernel_size[i],
-                    bn_eps=BN_EPS_SPARSE,
-                    bn_momentum=BN_MOMENTUM_SPARSE,
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                 )(x, train)
@@ -118,15 +116,22 @@ class SparseResNet3D(nn.Module):
             x = self._bn_relu(x, train)
             for _ in range(num_blocks):
                 identity = x
-                for _ in range(2):
-                    x = nn.Conv(
-                        self.ds_num_filters[i],
-                        (k, k, k),
-                        padding="SAME",
-                        use_bias=False,
-                        dtype=self.dtype,
-                    )(x)
-                    x = self._bn_relu(x, train)
+                x = nn.Conv(
+                    self.ds_num_filters[i], (k, k, k), padding="SAME",
+                    use_bias=False, dtype=self.dtype,
+                )(x)
+                x = self._bn_relu(x, train)
+                x = nn.Conv(
+                    self.ds_num_filters[i], (k, k, k), padding="SAME",
+                    use_bias=False, dtype=self.dtype,
+                )(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=BN_MOMENTUM_SPARSE,
+                    epsilon=BN_EPS_SPARSE,
+                    axis_name=self.axis_name if train else None,
+                    dtype=self.dtype,
+                )(x)
                 x = nn.relu(x + identity)
         # extra z-downsample: kernel (3,1,1) stride (2,1,1) over (D, H, W)
         x = nn.Conv(

@@ -1,0 +1,260 @@
+"""One-way PyTorch -> JAX weight importer.
+
+Loads a reference PillarNeXt checkpoint (.pth, the layout written by
+trainer/utils/checkpoint.py:62-89 — raw state_dict / {'state_dict'} /
+{'model'}, with optional 'module.' prefixes) and converts it into this
+framework's {params, batch_stats} trees for the pillarnet18_aspp detector.
+Used to validate metric parity against the released PillarNeXt-B weights
+(README.md:28 of the reference) without retraining.
+
+Layout conversions (numerically validated in tests/test_torch_import.py):
+  Linear        (out, in)            -> Dense kernel (in, out)
+  Conv2d        (out, in, kh, kw)    -> Conv kernel (kh, kw, in, out)
+  spconv 2.x    (out, kh, kw, in)    -> Conv kernel (kh, kw, in, out)
+  ConvTranspose2d (in, out, kh, kw)  -> ConvTranspose kernel (kh, kw, in, out),
+                                        spatially flipped (lax.conv_transpose
+                                        correlates where torch convolves)
+  BatchNorm     weight/bias/running_mean/running_var -> scale/bias + stats
+
+Strict: every expected flax leaf must be produced and every torch tensor
+consumed (unused keys reported) — the import fails loudly on drift.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Read a torch checkpoint into numpy (checkpoint-layout handling parity
+    with the reference load_checkpoint, checkpoint.py:28-43)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        sd = ckpt["state_dict"]
+    elif isinstance(ckpt, dict) and "model" in ckpt:
+        sd = ckpt["model"]
+    else:
+        sd = ckpt
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+# --------------------------------------------------------------- converters
+
+
+def linear_kernel(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def conv_kernel(w: np.ndarray, in_channels: int) -> np.ndarray:
+    """torch Conv2d (O,I,H,W) or spconv (O,H,W,I) -> flax (H,W,I,O)."""
+    if w.shape[1] == in_channels and w.shape[-1] != in_channels:
+        return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))  # OIHW
+    if w.shape[-1] == in_channels:
+        return np.ascontiguousarray(np.transpose(w, (1, 2, 3, 0)))  # OHWI
+    # ambiguous (in == kh etc.): prefer torch OIHW
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def conv_transpose_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (I,O,H,W) -> flax ConvTranspose (H,W,I,O).
+
+    flax's lax.conv_transpose uses cross-correlation; torch's transposed
+    convolution places the kernel un-flipped, which corresponds to a
+    spatially *flipped* correlation kernel.
+    """
+    k = np.transpose(w, (2, 3, 0, 1))  # (H, W, I, O)
+    return np.ascontiguousarray(k[::-1, ::-1])
+
+
+def _bn(dst_params, dst_stats, torch_prefix, sd):
+    dst_params["scale"] = sd.pop(f"{torch_prefix}.weight")
+    dst_params["bias"] = sd.pop(f"{torch_prefix}.bias")
+    dst_stats["mean"] = sd.pop(f"{torch_prefix}.running_mean")
+    dst_stats["var"] = sd.pop(f"{torch_prefix}.running_var")
+    sd.pop(f"{torch_prefix}.num_batches_tracked", None)
+
+
+def _conv_block(p, s, prefix, sd, in_ch):
+    """reference SparseConvBlock/ConvBlock {conv, norm} -> flax ConvBlock."""
+    p["Conv_0"] = {"kernel": conv_kernel(sd.pop(f"{prefix}.conv.weight"), in_ch)}
+    p["BatchNorm_0"], s["BatchNorm_0"] = {}, {}
+    _bn(p["BatchNorm_0"], s["BatchNorm_0"], f"{prefix}.norm", sd)
+
+
+def _residual_block(p, s, prefix, sd, ch):
+    """reference SparseBasicBlock {block1{conv,norm}, conv2, norm2}."""
+    p["ConvBlock_0"], s["ConvBlock_0"] = {}, {}
+    _conv_block(p["ConvBlock_0"], s["ConvBlock_0"], f"{prefix}.block1", sd, ch)
+    p["Conv_0"] = {"kernel": conv_kernel(sd.pop(f"{prefix}.conv2.weight"), ch)}
+    p["BatchNorm_0"], s["BatchNorm_0"] = {}, {}
+    _bn(p["BatchNorm_0"], s["BatchNorm_0"], f"{prefix}.norm2", sd)
+
+
+def _dense_basic_block(p, s, prefix, sd, ch):
+    """reference dense BasicBlock {block1{conv,norm}, block2{conv,norm}}."""
+    for j in range(2):
+        key = f"ConvBlock_{j}"
+        p[key], s[key] = {}, {}
+        _conv_block(p[key], s[key], f"{prefix}.block{j + 1}", sd, ch)
+
+
+def import_pillarnext(
+    state_dict: dict[str, np.ndarray],
+    *,
+    num_filters=(64, 64),
+    layer_nums=(2, 2, 2, 2),
+    ds_num_filters=(64, 128, 256, 256),
+    num_input_features=64,
+    out_channels=256,
+    tasks=(),
+    common_heads=None,
+    num_hm_conv=2,
+) -> tuple[dict, dict]:
+    """Convert a pillarnet18(_aspp) state_dict -> (params, batch_stats)."""
+    sd = dict(state_dict)
+    params: dict[str, Any] = {"reader": {}, "backbone": {}, "neck": {}, "head": {}}
+    stats: dict[str, Any] = {"reader": {}, "backbone": {}, "neck": {}, "head": {}}
+
+    # ---- reader PFN layers
+    for i in range(len(num_filters)):
+        name = f"pfn_layers_{i}"
+        p, s = {}, {}
+        p["Dense_0"] = {"kernel": linear_kernel(sd.pop(f"reader.pfn_layers.{i}.linear.weight"))}
+        p["MaskedBatchNorm_0"], s["MaskedBatchNorm_0"] = {}, {}
+        _bn(p["MaskedBatchNorm_0"], s["MaskedBatchNorm_0"], f"reader.pfn_layers.{i}.norm", sd)
+        params["reader"][name], stats["reader"][name] = p, s
+
+    # ---- backbone: per stage strided ConvBlock + residual blocks, then mapping
+    conv_idx = 0
+    res_idx = 0
+    in_ch = num_input_features
+    for si, n_blocks in enumerate(layer_nums):
+        key = f"ConvBlock_{conv_idx}"
+        params["backbone"][key], stats["backbone"][key] = {}, {}
+        _conv_block(
+            params["backbone"][key], stats["backbone"][key],
+            f"backbone.blocks.{si}.0", sd, in_ch,
+        )
+        conv_idx += 1
+        in_ch = ds_num_filters[si]
+        for bi in range(n_blocks):
+            key = f"ResidualBlock_{res_idx}"
+            params["backbone"][key], stats["backbone"][key] = {}, {}
+            _residual_block(
+                params["backbone"][key], stats["backbone"][key],
+                f"backbone.blocks.{si}.{bi + 1}", sd, in_ch,
+            )
+            res_idx += 1
+    key = f"ConvBlock_{conv_idx}"
+    params["backbone"][key] = {
+        "Conv_0": {"kernel": conv_kernel(sd.pop("backbone.mapping.0.weight"), in_ch)},
+        "BatchNorm_0": {},
+    }
+    stats["backbone"][key] = {"BatchNorm_0": {}}
+    _bn(params["backbone"][key]["BatchNorm_0"], stats["backbone"][key]["BatchNorm_0"],
+        "backbone.mapping.1", sd)
+
+    # ---- ASPP neck
+    params["neck"]["BasicBlock_0"], stats["neck"]["BasicBlock_0"] = {}, {}
+    _dense_basic_block(
+        params["neck"]["BasicBlock_0"], stats["neck"]["BasicBlock_0"],
+        "neck.pre_conv", sd, out_channels,
+    )
+    params["neck"]["Conv_0"] = {
+        "kernel": conv_kernel(sd.pop("neck.conv1x1.weight"), out_channels)
+    }
+    params["neck"]["shared_dilated_kernel"] = np.ascontiguousarray(
+        np.transpose(sd.pop("neck.weight"), (2, 3, 1, 0))
+    )
+    params["neck"]["ConvBlock_0"], stats["neck"]["ConvBlock_0"] = {}, {}
+    _conv_block(
+        params["neck"]["ConvBlock_0"], stats["neck"]["ConvBlock_0"],
+        "neck.post_conv", sd, out_channels * 6,
+    )
+
+    # ---- CenterHead
+    params["head"]["shared_conv"] = {
+        "kernel": conv_kernel(sd.pop("head.shared_conv.0.weight"), out_channels),
+        "bias": sd.pop("head.shared_conv.0.bias"),
+    }
+    params["head"]["shared_bn"], stats["head"]["shared_bn"] = {}, {}
+    _bn(params["head"]["shared_bn"], stats["head"]["shared_bn"], "head.shared_conv.1", sd)
+
+    head_conv = 64
+    for ti, task in enumerate(tasks):
+        tp, tsd = {}, {}
+        # deblock = ConvBlock(conv_layer=ConvTranspose2d) {conv, norm}
+        tp["ConvTransposeBlock_0"] = {
+            "ConvTranspose_0": {
+                "kernel": conv_transpose_kernel(
+                    sd.pop(f"head.tasks.{ti}.deblock.conv.weight")
+                )
+            },
+            "BatchNorm_0": {},
+        }
+        tsd["ConvTransposeBlock_0"] = {"BatchNorm_0": {}}
+        _bn(
+            tp["ConvTransposeBlock_0"]["BatchNorm_0"],
+            tsd["ConvTransposeBlock_0"]["BatchNorm_0"],
+            f"head.tasks.{ti}.deblock.norm",
+            sd,
+        )
+
+        branches = dict(common_heads)
+        branches["hm"] = (len(task), num_hm_conv)
+        for bname, (n_out, n_conv) in branches.items():
+            bp, bs = {}, {}
+            # torch Sequential: Conv(0), BN(1), ReLU(2), ..., final Conv
+            ci = 0
+            for li in range(n_conv - 1):
+                t_conv = 3 * li
+                bp[f"Conv_{ci}"] = {
+                    "kernel": conv_kernel(
+                        sd.pop(f"head.tasks.{ti}.{bname}.{t_conv}.weight"), head_conv
+                    ),
+                    "bias": sd.pop(f"head.tasks.{ti}.{bname}.{t_conv}.bias"),
+                }
+                bp[f"BatchNorm_{li}"], bs[f"BatchNorm_{li}"] = {}, {}
+                _bn(
+                    bp[f"BatchNorm_{li}"], bs[f"BatchNorm_{li}"],
+                    f"head.tasks.{ti}.{bname}.{t_conv + 1}", sd,
+                )
+                ci += 1
+            t_final = 3 * (n_conv - 1)
+            bp[f"Conv_{ci}"] = {
+                "kernel": conv_kernel(
+                    sd.pop(f"head.tasks.{ti}.{bname}.{t_final}.weight"), head_conv
+                ),
+                "bias": sd.pop(f"head.tasks.{ti}.{bname}.{t_final}.bias"),
+            }
+            tp[bname], tsd[bname] = bp, bs
+        params["head"][f"task_{ti}"] = tp
+        stats["head"][f"task_{ti}"] = tsd
+
+    leftovers = [k for k in sd if not k.endswith("num_batches_tracked")]
+    if leftovers:
+        raise ValueError(f"unconsumed torch keys: {leftovers[:10]} (+{len(leftovers)-10 if len(leftovers)>10 else 0})")
+    return params, stats
+
+
+def validate_against_flax(params, batch_stats, model, example_points, example_mask):
+    """Sanity: imported trees must match the model's init structure."""
+    import jax
+
+    ref = model.init(jax.random.PRNGKey(0), example_points, example_mask)
+    ref_p = jax.tree.structure(ref["params"])
+    got_p = jax.tree.structure(jax.tree.map(np.asarray, params))
+    if ref_p != got_p:
+        raise ValueError(f"param tree mismatch:\n{ref_p}\nvs\n{got_p}")
+    for a, b in zip(jax.tree.leaves(ref["params"]), jax.tree.leaves(params)):
+        if a.shape != np.asarray(b).shape:
+            raise ValueError(f"shape mismatch {a.shape} vs {np.asarray(b).shape}")
