@@ -2,20 +2,27 @@
 
 Replaces the reference's CUDA bitmask kernel + host greedy scan
 (reference: det3d/core/iou3d_nms/src/iou3d_nms.cpp:113-159,
-iou3d_nms_kernel.cu:280-324) with: score top-k to a static K, a K x K rotated
-BEV IoU matrix (branch-free polygon clip, core/jax_box_ops.py), and greedy
-suppression computed as a Jacobi fixpoint iteration — the greedy recurrence
-``keep[i] = valid[i] and no kept j<i overlaps i`` has a unique solution, and
-iterating ``keep <- valid & ~(over^T @ keep)`` converges to it in (suppression
--chain-depth) rounds, each round a single K x K matvec on the MXU.  This
-replaces a K-step sequential scan with typically <10 parallel rounds.
+iou3d_nms_kernel.cu:280-324).  Two layers of restructuring:
 
-The IoU threshold is a *traced* scalar so one compiled NMS kernel serves
-every class (per-class thresholds become a vmapped argument).
+1. Greedy suppression is a Jacobi fixpoint: the recurrence
+   ``keep[i] = valid[i] and no kept j<i overlaps i`` has a unique solution,
+   and iterating ``keep <- valid & ~(over^T @ keep)`` reaches it in
+   (suppression-chain-depth) rounds — each round one matvec on the MXU —
+   instead of a K-step sequential scan.
 
-All outputs are fixed-size with validity masks (static shapes for XLA).
-Also provides the cheaper circle-NMS variant used by CenterPoint-style Waymo
-configs.
+2. The K x K IoU matrix is never fully materialized: candidates stream
+   through a ``lax.while_loop`` in score-sorted chunks of 128, each chunk
+   tested against the (bounded) kept set and then greedily resolved within
+   itself.  The loop exits as soon as ``post_max_size`` boxes are kept or
+   the valid candidates run out — for typical scenes that is 1-3 chunks
+   instead of ceil(K/128), and empty classes cost ~nothing.  Boxes kept
+   beyond ``post_max_size`` cannot influence the emitted set (kept ranks
+   only grow), so the kept buffer is safely bounded.
+
+The IoU threshold is a *traced* scalar so one compiled kernel serves every
+class (per-class thresholds become a vmapped argument).  All outputs are
+fixed-size with validity masks.  Also provides the circle-NMS variant used
+by CenterPoint-style Waymo configs.
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ import jax.numpy as jnp
 from pillarnext_tpu.core import jax_box_ops
 
 NEG_INF = -1e9
+_CHUNK = 128
 
 
 def _greedy_suppress(over: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -69,6 +77,69 @@ def _select(order, keep, post_max_size):
     return jnp.where(sel_valid, sel, 0), sel_valid
 
 
+def _chunked_greedy(cand: jnp.ndarray, valid: jnp.ndarray, overlap_fn, post_max: int):
+    """Streaming greedy NMS over score-sorted candidates.
+
+    cand: (K, D) geometry rows; overlap_fn(a (M, D), b (N, D)) -> (M, N) bool
+    "suppresses" indicator.  Returns (K,) keep mask.
+    """
+    k, d = cand.shape
+    c = min(_CHUNK, k)
+    n_chunks = -(-k // c)
+    kept_cap = min(-(-post_max // c) * c, k)
+
+    n_valid = valid.sum()
+
+    def cond(st):
+        chunk_i, _, _, kept_count, _ = st
+        return (
+            (chunk_i < n_chunks)
+            & (chunk_i * c < n_valid)
+            & (kept_count < post_max)
+        )
+
+    def body(st):
+        chunk_i, keep_out, kept_rows, kept_count, kept_valid = st
+        start = chunk_i * c
+        chunk = jax.lax.dynamic_slice(cand, (start, 0), (c, d))
+        chunk_valid = jax.lax.dynamic_slice(valid, (start,), (c,))
+
+        # suppression by the already-kept set
+        sup = overlap_fn(kept_rows, chunk) & kept_valid[:, None]
+        free = chunk_valid & jnp.logical_not(sup.any(axis=0))
+
+        # greedy within the chunk
+        over_cc = overlap_fn(chunk, chunk)
+        chunk_keep = _greedy_suppress(over_cc, free)
+
+        keep_out = jax.lax.dynamic_update_slice(keep_out, chunk_keep, (start,))
+
+        # append survivors to the kept buffer (capped; overflow cannot
+        # affect the first post_max emitted boxes)
+        pos = kept_count + jnp.cumsum(chunk_keep.astype(jnp.int32)) - 1
+        pos = jnp.where(chunk_keep & (pos < kept_cap), pos, kept_cap)
+        kept_rows = kept_rows.at[pos].set(chunk, mode="drop")
+        kept_valid = kept_valid.at[pos].set(chunk_keep, mode="drop")
+        kept_count = kept_count + chunk_keep.sum(dtype=jnp.int32)
+        return chunk_i + 1, keep_out, kept_rows, kept_count, kept_valid
+
+    # pad cand/valid so dynamic_slice windows are always in bounds
+    if n_chunks * c != k:
+        pad = n_chunks * c - k
+        cand = jnp.concatenate([cand, jnp.zeros((pad, d), cand.dtype)], axis=0)
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)], axis=0)
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((n_chunks * c,), bool),
+        jnp.zeros((kept_cap + 1, d), cand.dtype),  # +1 = overflow/drop row
+        jnp.int32(0),
+        jnp.zeros((kept_cap + 1,), bool),
+    )
+    _, keep_out, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return keep_out[:k]
+
+
 @partial(jax.jit, static_argnums=(3, 4))
 def rotated_nms(
     boxes: jnp.ndarray,
@@ -94,8 +165,10 @@ def rotated_nms(
     valid = top_scores > NEG_INF / 2
     cand = boxes[order]
 
-    iou = jax_box_ops.boxes_iou_bev(cand, cand)
-    keep = _greedy_suppress(iou > thresh, valid)
+    def overlaps(a, b):
+        return jax_box_ops.boxes_iou_bev(a, b) > thresh
+
+    keep = _chunked_greedy(cand, valid, overlaps, post_max_size)
     return _select(order, keep, post_max_size)
 
 
@@ -113,8 +186,11 @@ def circle_nms(
     k = min(pre_max_size, n)
     top_scores, order = jax.lax.top_k(scores, k)
     valid = top_scores > NEG_INF / 2
-    cand = centers[order]
+    cand = centers[order][:, :2]
 
-    d2 = jnp.sum((cand[:, None, :2] - cand[None, :, :2]) ** 2, axis=-1)
-    keep = _greedy_suppress(d2 < jnp.square(radius), valid)
+    def overlaps(a, b):
+        d2 = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+        return d2 < jnp.square(radius)
+
+    keep = _chunked_greedy(cand, valid, overlaps, post_max_size)
     return _select(order, keep, post_max_size)

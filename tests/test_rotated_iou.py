@@ -142,6 +142,23 @@ class TestNms:
         oracle = order[keep_sorted]
         np.testing.assert_array_equal(np.sort(ours), np.sort(oracle))
 
+    def test_matches_oracle_multichunk(self):
+        """> 128 candidates forces the streaming chunk loop across kept-set
+        boundaries; heavy clustering forces cross-chunk suppression."""
+        if not native_geometry.available():
+            pytest.skip("native lib not built")
+        rng = np.random.default_rng(11)
+        boxes = _rand_boxes(400, rng, span=6.0)  # dense -> long chains
+        scores = rng.uniform(0, 1, 400).astype(np.float32)
+
+        sel, valid = nms.rotated_nms(jnp.array(boxes), jnp.array(scores), 0.3, 400, 50)
+        ours = np.asarray(sel)[np.asarray(valid)]
+
+        order = np.argsort(-scores, kind="stable")
+        keep_sorted = native_geometry.rotated_nms(boxes[order], 0.3)
+        oracle = order[keep_sorted][:50]
+        np.testing.assert_array_equal(np.sort(ours), np.sort(oracle))
+
     def test_invalid_rows_never_selected(self):
         boxes = jnp.array([[0, 0, 0, 2, 2, 2, 0.0]] * 4, jnp.float32)
         scores = jnp.array([0.9, nms.NEG_INF, nms.NEG_INF, nms.NEG_INF])
