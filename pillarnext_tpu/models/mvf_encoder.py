@@ -36,6 +36,7 @@ from pillarnext_tpu.models.layers import BN_EPS_SPARSE, BN_MOMENTUM_SPARSE
 from pillarnext_tpu.models.pillar_encoder import PFNLayer
 from pillarnext_tpu.ops import scatter
 from pillarnext_tpu.ops.compact import compactify
+from pillarnext_tpu.ops.densify import densify
 
 
 class PointNet(nn.Module):
@@ -107,7 +108,9 @@ class SingleView(nn.Module):
         slot_of_dense = slot_of_dense.at[slot_id].set(
             jnp.arange(cap, dtype=jnp.int32), mode="drop"
         )
-        x = table[slot_of_dense[: b * h * w]].reshape(b, h, w, table.shape[-1])
+        x = densify(table, slot_of_dense[: b * h * w], slot_id).reshape(
+            b, h, w, table.shape[-1]
+        )
 
         for i, num_blocks in enumerate(self.layer_nums):
             x = ConvBlock(

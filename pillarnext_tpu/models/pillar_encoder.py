@@ -34,6 +34,7 @@ from flax import linen as nn
 from pillarnext_tpu.models.layers import MaskedBatchNorm
 from pillarnext_tpu.ops import scatter
 from pillarnext_tpu.ops.compact import compactify
+from pillarnext_tpu.ops.densify import densify
 from pillarnext_tpu.ops.voxelize import VoxelGrid, pillar_coords, pillar_segment_ids
 
 
@@ -141,7 +142,7 @@ class PillarFeatureNet(nn.Module):
         slot_of_dense = slot_of_dense.at[slot_id].set(
             jnp.arange(cap, dtype=jnp.int32), mode="drop"
         )
-        dense = table[slot_of_dense[: b * hw]]
+        dense = densify(table, slot_of_dense[: b * hw], slot_id)
         return dense.reshape(b, grid.size_y, grid.size_x, table.shape[-1])
 
     @property

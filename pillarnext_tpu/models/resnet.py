@@ -29,10 +29,46 @@ from pillarnext_tpu.models.layers import (
 )
 
 
+class _Stage(nn.Module):
+    """One backbone stage: strided ConvBlock + residual blocks."""
+
+    features: int
+    stride: int
+    kernel_size: int
+    num_blocks: int
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBlock(
+            self.features,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            bn_eps=BN_EPS_SPARSE,
+            bn_momentum=BN_MOMENTUM_SPARSE,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+        )(x, train)
+        for _ in range(self.num_blocks):
+            x = ResidualBlock(
+                self.features,
+                kernel_size=self.kernel_size,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+            )(x, train)
+        return x
+
+
 class SparseResNet(nn.Module):
     """4-stage BEV ResNet (dense).  Mirrors SparseResNet's layout: per stage a
     strided ConvBlock then ``layer_nums[i]`` residual BasicBlocks, followed by
-    a 1x1 mapping conv to ``out_channels`` (sparse_resnet.py:43-59)."""
+    a 1x1 mapping conv to ``out_channels`` (sparse_resnet.py:43-59).
+
+    During training each stage is rematerialized (jax.checkpoint): the
+    full-resolution BEV stages would otherwise keep ~GBs of activations for
+    the backward pass (the reference leans on spconv sparsity +
+    torch.utils.checkpoint on the neck instead)."""
 
     layer_nums: Sequence[int]
     ds_layer_strides: Sequence[int]
@@ -45,23 +81,17 @@ class SparseResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        stage_cls = nn.remat(_Stage, static_argnums=(2,)) if train else _Stage
         for i, num_blocks in enumerate(self.layer_nums):
-            x = ConvBlock(
+            x = stage_cls(
                 self.ds_num_filters[i],
-                kernel_size=self.kernel_size[i],
-                stride=self.ds_layer_strides[i],
-                bn_eps=BN_EPS_SPARSE,
-                bn_momentum=BN_MOMENTUM_SPARSE,
+                self.ds_layer_strides[i],
+                self.kernel_size[i],
+                num_blocks,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
+                name=f"stage_{i}",
             )(x, train)
-            for _ in range(num_blocks):
-                x = ResidualBlock(
-                    self.ds_num_filters[i],
-                    kernel_size=self.kernel_size[i],
-                    axis_name=self.axis_name,
-                    dtype=self.dtype,
-                )(x, train)
         x = ConvBlock(
             self.out_channels,
             kernel_size=1,

@@ -43,6 +43,15 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     Works in single-process (global arrays) and multi-process (per-host
     shards assembled into global arrays via make_array_from_process_local_data).
     """
+    if mesh.size == 1:
+        # single-device: leave arrays UNCOMMITTED (jnp.asarray).  Committed
+        # placements (device_put with an explicit device or NamedSharding)
+        # push the experimental axon remote-TPU plugin onto a path that costs
+        # ~15x per training step (measured 7.6s vs 0.5s on the flagship).
+        import jax.numpy as jnp
+
+        return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), batch)
+
     sharding = batch_sharding(mesh, axis)
 
     def _place(x):

@@ -97,14 +97,11 @@ def make_train_step(model, tx, mesh, donate: bool = True) -> Callable:
         scalar_logs = {"loss": loss, "grad_norm": optax.global_norm(grads)}
         return new_state, (scalar_logs, logs)
 
-    repl = mesh_lib.replicated(mesh)
-    data = mesh_lib.batch_sharding(mesh)
-    batch_shardings = None  # inferred from input placement
-    return jax.jit(
-        step_fn,
-        donate_argnums=(0,) if donate else (),
-        out_shardings=(repl, None),
-    )
+    # shardings are inferred from input placement: state arrives replicated,
+    # the batch data-sharded; outputs inherit.  (An explicit out_shardings
+    # spec here forced a per-step reshard that cost ~10x the step itself.)
+    del mesh
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, mesh) -> Callable:

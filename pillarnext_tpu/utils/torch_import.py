@@ -133,28 +133,19 @@ def import_pillarnext(
         _bn(p["MaskedBatchNorm_0"], s["MaskedBatchNorm_0"], f"reader.pfn_layers.{i}.norm", sd)
         params["reader"][name], stats["reader"][name] = p, s
 
-    # ---- backbone: per stage strided ConvBlock + residual blocks, then mapping
-    conv_idx = 0
-    res_idx = 0
+    # ---- backbone: stage_{i} (strided ConvBlock + residual blocks) + mapping
     in_ch = num_input_features
     for si, n_blocks in enumerate(layer_nums):
-        key = f"ConvBlock_{conv_idx}"
-        params["backbone"][key], stats["backbone"][key] = {}, {}
-        _conv_block(
-            params["backbone"][key], stats["backbone"][key],
-            f"backbone.blocks.{si}.0", sd, in_ch,
-        )
-        conv_idx += 1
+        sp, ss = {"ConvBlock_0": {}}, {"ConvBlock_0": {}}
+        _conv_block(sp["ConvBlock_0"], ss["ConvBlock_0"], f"backbone.blocks.{si}.0", sd, in_ch)
         in_ch = ds_num_filters[si]
         for bi in range(n_blocks):
-            key = f"ResidualBlock_{res_idx}"
-            params["backbone"][key], stats["backbone"][key] = {}, {}
-            _residual_block(
-                params["backbone"][key], stats["backbone"][key],
-                f"backbone.blocks.{si}.{bi + 1}", sd, in_ch,
-            )
-            res_idx += 1
-    key = f"ConvBlock_{conv_idx}"
+            key = f"ResidualBlock_{bi}"
+            sp[key], ss[key] = {}, {}
+            _residual_block(sp[key], ss[key], f"backbone.blocks.{si}.{bi + 1}", sd, in_ch)
+        params["backbone"][f"stage_{si}"] = sp
+        stats["backbone"][f"stage_{si}"] = ss
+    key = "ConvBlock_0"
     params["backbone"][key] = {
         "Conv_0": {"kernel": conv_kernel(sd.pop("backbone.mapping.0.weight"), in_ch)},
         "BatchNorm_0": {},

@@ -78,5 +78,48 @@ elif STAGE == "predict":
         out = model.apply(v, {"points": p, "points_mask": m}, method=model.predict)
         return out["scores"].sum()
     run("predict", fn)
+elif STAGE == "train":
+    from pillarnext_tpu.data.assign import AssignLabel
+    from pillarnext_tpu.data.collate import collate
+    from pillarnext_tpu.parallel import mesh as mesh_lib
+    from pillarnext_tpu.train import train_state as ts_lib
+
+    pl = cfg["data"]["train_dataset"]["prepare_label"]["centermap"]
+    assigner = AssignLabel(
+        tasks=pl["tasks"], gaussian_overlap=pl["gaussian_overlap"], max_objs=500,
+        min_radius=pl["min_radius"], pc_range=cfg["model"]["reader"]["pc_range"],
+        voxel_size=cfg["model"]["reader"]["voxel_size"],
+        out_size_factor=pl["out_size_factor"],
+    )
+    samples = []
+    for i in range(B):
+        boxes = np.zeros((40, 9), np.float32)
+        boxes[:, :2] = rng.uniform(-45, 45, (40, 2))
+        boxes[:, 3:6] = rng.uniform(0.5, 4.0, (40, 3))
+        boxes[:, 8] = rng.uniform(-3, 3, 40)
+        res = {"token": f"t{i}", "points": pts[i],
+               "annotations": {"gt_boxes": boxes,
+                               "gt_names": np.array(["car"] * 40)}}
+        res = assigner(res)
+        del res["annotations"]
+        samples.append(res)
+    batch = collate(samples, max_points=N)
+    example = {k: v for k, v in batch.items() if k != "token"}
+
+    mesh = mesh_lib.make_mesh(jax.devices()[:1])
+    tx, _ = ts_lib.make_optimizer(max_lr=1e-3, total_steps=100)
+    state = ts_lib.create_train_state(model, example, jax.random.PRNGKey(0), tx)
+    step = ts_lib.make_train_step(model, tx, mesh, donate=False)
+    sharded = mesh_lib.shard_batch(example, mesh)
+
+    t0 = time.perf_counter()
+    state, (sc, _) = step(state, sharded)
+    print(f"train compile+1st: {time.perf_counter() - t0:.0f}s loss={float(sc['loss']):.2f}", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state, (sc, _) = step(state, sharded)
+        _ = float(sc["loss"])
+    dt = (time.perf_counter() - t0) / 5
+    print(f"train B={B}: {dt * 1000:.0f} ms  ({B / dt:.2f} frames/s)", flush=True)
 else:
     raise SystemExit(f"unknown stage {STAGE}")
