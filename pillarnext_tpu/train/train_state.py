@@ -68,14 +68,22 @@ def create_train_state(model, example, rng, tx) -> TrainState:
     )
 
 
-def make_train_step(model, tx, mesh, donate: bool = True) -> Callable:
+def make_train_step(model, tx, mesh, donate: bool = True, accum_steps: int = 1) -> Callable:
     """Compiled train step: state (replicated), batch (data-sharded) ->
-    (state, logs)."""
+    (state, logs).
 
-    def step_fn(state: TrainState, batch) -> tuple[TrainState, Any]:
-        def loss_fn(params):
+    ``accum_steps > 1`` enables gradient accumulation (absent in the
+    reference, SURVEY.md §2.7): the batch's leading dim is split into
+    micro-batches scanned sequentially, gradients averaged, one optimizer
+    update.  BN statistics update per micro-batch (running-average
+    semantics).  Use to reach the reference's effective batch when the
+    full-resolution backward does not fit HBM at the target per-device batch.
+    """
+
+    def loss_and_grad(params, batch_stats, batch):
+        def loss_fn(p):
             (loss, logs), mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": p, "batch_stats": batch_stats},
                 batch,
                 train=True,
                 method=model.loss,
@@ -83,9 +91,36 @@ def make_train_step(model, tx, mesh, donate: bool = True) -> Callable:
             )
             return loss, (logs, mutated["batch_stats"])
 
-        (loss, (logs, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (logs, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, logs, new_bs, grads
+
+    def step_fn(state: TrainState, batch) -> tuple[TrainState, Any]:
+        if accum_steps == 1:
+            loss, logs, new_bs, grads = loss_and_grad(
+                state.params, state.batch_stats, batch
+            )
+        else:
+            micro = jax.tree.map(
+                lambda x: x.reshape(
+                    accum_steps, x.shape[0] // accum_steps, *x.shape[1:]
+                ),
+                batch,
+            )
+            grads0 = jax.tree.map(jnp.zeros_like, state.params)
+
+            def scan_body(carry, mb):
+                bs, acc, loss_acc = carry
+                loss, logs, nbs, grads = loss_and_grad(state.params, bs, mb)
+                acc = jax.tree.map(jnp.add, acc, grads)
+                return (nbs, acc, loss_acc + loss), logs
+
+            (new_bs, grads, loss_sum), logs = jax.lax.scan(
+                scan_body, (state.batch_stats, grads0, 0.0), micro
+            )
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            loss = loss_sum / accum_steps
+            logs = jax.tree.map(lambda x: x.mean(axis=0), logs)
+
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

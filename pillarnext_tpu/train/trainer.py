@@ -68,6 +68,7 @@ class Trainer:
         log_every_niters: int = 50,
         work_dir: str = ".",
         mesh=None,
+        accum_steps: int = 1,
     ):
         self.model = model
         self.train_dataloader = train_dataloader
@@ -81,6 +82,7 @@ class Trainer:
         self.logger = logger_ or logger
         self.work_dir = Path(work_dir)
         self.mesh = mesh or mesh_lib.make_mesh()
+        self.accum_steps = accum_steps
 
         self.epoch = 0
         self.state: ts_lib.TrainState | None = None
@@ -97,7 +99,9 @@ class Trainer:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         example = {k: v for k, v in example_batch.items() if k != "token"}
         self.state = ts_lib.create_train_state(self.model, example, rng, self.tx)
-        self._train_step = ts_lib.make_train_step(self.model, self.tx, self.mesh)
+        self._train_step = ts_lib.make_train_step(
+            self.model, self.tx, self.mesh, accum_steps=self.accum_steps
+        )
         self._eval_step = ts_lib.make_eval_step(self.model, self.mesh)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params))
         self.logger.info("model parameters: %.2fM", n_params / 1e6)

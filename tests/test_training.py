@@ -70,6 +70,24 @@ class TestTrainStep:
         for a, b in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s8.batch_stats)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
+    def test_gradient_accumulation(self, setup):
+        """accum_steps=4 over the same global batch: one optimizer update,
+        finite averaged loss, params move (feature absent in the reference)."""
+        model, tx, _, state, example = setup
+        mesh = mesh_lib.make_mesh(jax.devices()[:1])
+        step = ts_lib.make_train_step(model, tx, mesh, donate=False, accum_steps=4)
+        new_state, (scalars, logs) = step(state, mesh_lib.shard_batch(example, mesh))
+        assert int(new_state.step) == int(state.step) + 1
+        assert np.isfinite(float(scalars["loss"]))
+        moved = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(
+                jax.tree.leaves(new_state.params), jax.tree.leaves(state.params)
+            )
+        )
+        assert moved > 0
+        assert np.isfinite(float(logs[0]["hm_loss"]))
+
     def test_grad_clip_active(self, setup):
         model, _, _, state, example = setup
         # absurdly small clip: global grad norm of the update must be bounded

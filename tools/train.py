@@ -70,7 +70,8 @@ def main():
     val_ds = builders.build_dataset(cfg["data"]["val_dataset"])
     dl_cfg = cfg["dataloader"]
     max_points = int(dl_cfg.get("max_points", 300000))
-    global_batch = int(dl_cfg["train"]["batch_size"]) * jax.device_count()
+    accum = int(cfg["trainer"].get("accum_steps", 1))
+    global_batch = int(dl_cfg["train"]["batch_size"]) * jax.device_count() * accum
     per_host_batch = global_batch // jax.process_count()
     train_loader = build_dataloader(
         train_ds, per_host_batch, max_points, shuffle=True,
@@ -93,6 +94,7 @@ def main():
         clip_grad_val=float(cfg["trainer"].get("clip_grad_val", 0)),
         max_epochs=int(cfg["trainer"]["max_epochs"]),
         eval_every_nepochs=int(cfg["trainer"].get("eval_every_nepochs", 1)),
+        accum_steps=accum,
         logger_=log,
         work_dir=args.work_dir,
         mesh=mesh_lib.make_mesh(),
