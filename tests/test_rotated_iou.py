@@ -44,6 +44,13 @@ class TestOverlapGolden:
         # closed form: 4*(sqrt(2)-1)*... use direct value
         assert area == pytest.approx(0.82842712, rel=1e-4)
 
+    def test_identity_diagonal_random_yaws(self):
+        # identical boxes (collinear clip edges) must give IoU exactly ~1
+        rng = np.random.default_rng(9)
+        b = jnp.asarray(_rand_boxes(64, rng))
+        iou = np.asarray(jax_box_ops.boxes_iou_bev(b, b))
+        np.testing.assert_allclose(np.diag(iou), 1.0, atol=1e-4)
+
     def test_contained_box(self):
         a = jnp.array([[0, 0, 0, 6, 6, 2, 0.2]], jnp.float32)
         b = jnp.array([[0.5, -0.3, 0, 1, 2, 2, 1.2]], jnp.float32)
