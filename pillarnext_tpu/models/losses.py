@@ -69,7 +69,12 @@ def reg_loss(
     """
     pred = gather_feature_map(output, ind)  # (B, M, D)
     maskf = mask.astype(jnp.float32)[..., None]
-    target = jnp.where(jnp.isnan(target), jax.lax.stop_gradient(pred), target)
+    # NaN slots must contribute zero loss AND zero gradient.  (The reference
+    # substitutes the detached prediction, relying on torch's sign(0)=0 L1
+    # subgradient; JAX's |x| JVP at 0 is +1, so zero both sides explicitly.)
+    nan_slots = jnp.isnan(target)
+    target = jnp.where(nan_slots, 0.0, target)
+    pred = jnp.where(nan_slots, 0.0, pred)
     loss = jnp.abs(pred * maskf - target * maskf)
     loss = loss / (maskf.sum() + 1e-4)
     return loss.sum(axis=(0, 1))  # (D,)

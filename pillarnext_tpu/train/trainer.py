@@ -155,18 +155,31 @@ class Trainer:
                     "label_preds": dets["label_preds"][bi][valid],
                 }
 
+        output_dir = self.work_dir / "results" / f"epoch_{self.epoch}"
         if jax.process_count() > 1:
+            # The reference all-gathers python dicts over NCCL
+            # (trainer.py:160-174).  Detections are ragged host-side data, so
+            # the robust TPU-pod equivalent is a filesystem gather on the
+            # shared work dir + a device barrier.
+            import pickle
+
             from jax.experimental import multihost_utils
 
-            gathered = multihost_utils.process_allgather(results)  # dict merge
-            # process_allgather on pytrees of arrays isn't suited to ragged
-            # dicts; fall back to a broadcast-merge via host callbacks.
-            results = gathered if isinstance(gathered, dict) else results
+            shard_dir = output_dir / "shards"
+            shard_dir.mkdir(parents=True, exist_ok=True)
+            with open(shard_dir / f"rank_{self.rank}.pkl", "wb") as f:
+                pickle.dump(results, f)
+            multihost_utils.sync_global_devices("pnx_eval_gather")
+            if self.rank == 0:
+                for i in range(jax.process_count()):
+                    if i == self.rank:
+                        continue
+                    with open(shard_dir / f"rank_{i}.pkl", "rb") as f:
+                        results.update(pickle.load(f))
 
         if self.rank != 0:
             return None
 
-        output_dir = self.work_dir / "results" / f"epoch_{self.epoch}"
         output_dir.mkdir(parents=True, exist_ok=True)
         result = self.val_dataloader.dataset.evaluation(results, output_dir)
         if result:
