@@ -30,6 +30,9 @@ ITERS = 20
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
     import numpy as np
 

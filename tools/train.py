@@ -56,6 +56,11 @@ def main():
     maybe_init_distributed()
     import jax
 
+    jax.config.update(
+        "jax_compilation_cache_dir", str(Path(__file__).resolve().parent.parent / ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from pillarnext_tpu.data.loader import build_dataloader
     from pillarnext_tpu.parallel import mesh as mesh_lib
     from pillarnext_tpu.train.trainer import Trainer
