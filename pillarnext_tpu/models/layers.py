@@ -40,12 +40,16 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # explicit symmetric padding (== torch/spconv padding=k//2): XLA
+        # "SAME" pads (0, 1) for stride 2 on even inputs, shifting the grid
+        # one pixel vs the reference — fatal for imported weights
+        pad = (self.kernel_size // 2) * self.dilation
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
             kernel_dilation=(self.dilation, self.dilation),
-            padding="SAME",
+            padding=((pad, pad), (pad, pad)),
             use_bias=False,
             dtype=self.dtype,
         )(x)

@@ -135,11 +135,12 @@ class SparseResNet3D(nn.Module):
     def __call__(self, x, train: bool = False):
         for i, num_blocks in enumerate(self.layer_nums):
             k, s = self.kernel_size[i], self.ds_layer_strides[i]
+            p = k // 2
             x = nn.Conv(
                 self.ds_num_filters[i],
                 (k, k, k),
                 strides=(s, s, s),
-                padding="SAME",
+                padding=((p, p),) * 3,  # torch/spconv alignment (see layers.py)
                 use_bias=False,
                 dtype=self.dtype,
             )(x)
@@ -168,7 +169,7 @@ class SparseResNet3D(nn.Module):
             self.ds_num_filters[-1],
             (3, 1, 1),
             strides=(2, 1, 1),
-            padding="SAME",
+            padding=((1, 1), (0, 0), (0, 0)),
             use_bias=False,
             dtype=self.dtype,
         )(x)
