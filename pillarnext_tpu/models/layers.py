@@ -27,7 +27,12 @@ BN_MOMENTUM_DENSE = 0.9    # torch momentum 0.1
 
 
 class ConvBlock(nn.Module):
-    """Conv2D (no bias) + BN + ReLU over NHWC, 'same' padding."""
+    """Conv2D (no bias) + BN + ReLU over NHWC, 'same' padding.
+
+    ``mask`` (B, H_out, W_out, 1) restricts the block to an active set: BN
+    statistics are computed over active cells only and the output is
+    re-zeroed outside them — the dense-compute twin of a SubM/Sparse conv
+    block (reference sparse_conv.py:16-39; see models/resnet.py)."""
 
     features: int
     kernel_size: int = 3
@@ -39,7 +44,7 @@ class ConvBlock(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         # explicit symmetric padding (== torch/spconv padding=k//2): XLA
         # "SAME" pads (0, 1) for stride 2 on even inputs, shifting the grid
         # one pixel vs the reference — fatal for imported weights
@@ -53,6 +58,15 @@ class ConvBlock(nn.Module):
             use_bias=False,
             dtype=self.dtype,
         )(x)
+        if mask is not None:
+            x = MaskedBatchNorm(
+                eps=self.bn_eps,
+                momentum=self.bn_momentum,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                name="BatchNorm_0",
+            )(x, mask[..., 0], train)
+            return nn.relu(x) * mask.astype(x.dtype)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
@@ -76,7 +90,7 @@ class ResidualBlock(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         identity = x
         x = ConvBlock(
             self.features,
@@ -85,7 +99,7 @@ class ResidualBlock(nn.Module):
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
             dtype=self.dtype,
-        )(x, train)
+        )(x, train, mask)
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -93,6 +107,15 @@ class ResidualBlock(nn.Module):
             use_bias=False,
             dtype=self.dtype,
         )(x)
+        if mask is not None:
+            x = MaskedBatchNorm(
+                eps=self.bn_eps,
+                momentum=self.bn_momentum,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                name="BatchNorm_0",
+            )(x, mask[..., 0], train)
+            return nn.relu(x + identity) * mask.astype(x.dtype)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
@@ -169,6 +192,8 @@ class MaskedBatchNorm(nn.Module):
     (pillar_encoder.py:33-40).
     """
 
+    eps: float = BN_EPS_SPARSE
+    momentum: float = BN_MOMENTUM_SPARSE
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -194,13 +219,13 @@ class MaskedBatchNorm(nn.Module):
             mean = total / cnt
             var = jnp.maximum(total_sq / cnt - jnp.square(mean), 0.0)
             if not self.is_initializing():
-                mom = BN_MOMENTUM_SPARSE
+                mom = self.momentum
                 ra_mean.value = mom * ra_mean.value + (1 - mom) * mean
                 ra_var.value = mom * ra_var.value + (1 - mom) * var
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + BN_EPS_SPARSE) * scale + bias
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
         return y.astype(x.dtype)
 
 

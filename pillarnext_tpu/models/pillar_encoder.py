@@ -34,7 +34,7 @@ from flax import linen as nn
 from pillarnext_tpu.models.layers import MaskedBatchNorm
 from pillarnext_tpu.ops import scatter
 from pillarnext_tpu.ops.compact import compactify
-from pillarnext_tpu.ops.densify import densify
+from pillarnext_tpu.ops.sparse_bev import SparseBEV
 from pillarnext_tpu.ops.voxelize import VoxelGrid, pillar_coords, pillar_segment_ids
 
 
@@ -72,6 +72,7 @@ class PillarFeatureNet(nn.Module):
     voxel_size: Sequence[float]
     pc_range: Sequence[float]
     pillar_capacity: int = 131072  # compact slots per sample (~2x headroom)
+    output: str = "dense"  # 'dense' (B,H,W,C) | 'sparse' (SparseBEV)
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -135,15 +136,33 @@ class PillarFeatureNet(nn.Module):
         for pfn in self.pfn_layers:
             feats = pfn(feats, valid_s, slot, num_segments, train)
 
-        # last PFN layer returned the (cap+1, C) compact pillar table whose
-        # dump row is all-zero; densify with one gather
-        table = feats
-        slot_of_dense = jnp.full((b * hw + 1,), cap, jnp.int32)
-        slot_of_dense = slot_of_dense.at[slot_id].set(
-            jnp.arange(cap, dtype=jnp.int32), mode="drop"
+        # last PFN layer returned the (cap+1, C) compact pillar table; row
+        # ``cap`` is the dump row — nonzero when VALID points overflowed the
+        # slot capacity (their max would otherwise leak into every empty BEV
+        # cell through the densify gather), so zero it explicitly.  Then
+        # invert the slot map with one unique-index scatter (unused slots
+        # write to distinct shadow rows so XLA takes the parallel scatter
+        # path instead of serializing duplicates).
+        table = feats.at[-1].set(0.0)
+        occupied = slot_id < b * hw
+        shadow = b * hw + jnp.arange(cap, dtype=jnp.int32)
+        target = jnp.where(occupied, slot_id, shadow)
+        slot_of_dense = jnp.full((b * hw + cap,), cap, jnp.int32)
+        slot_of_dense = slot_of_dense.at[target].set(
+            jnp.arange(cap, dtype=jnp.int32), unique_indices=True
+        )[: b * hw]
+
+        sbev = SparseBEV(
+            table=table,
+            valid=occupied,
+            slot_of_dense=slot_of_dense,
+            slot_id=slot_id,
+            batch=b,
+            spatial=(grid.size_y, grid.size_x),
         )
-        dense = densify(table, slot_of_dense[: b * hw], slot_id)
-        return dense.reshape(b, grid.size_y, grid.size_x, table.shape[-1])
+        if self.output == "sparse":
+            return sbev
+        return sbev.to_dense()
 
     @property
     def bev_shape(self):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -25,12 +26,118 @@ from pillarnext_tpu.models.layers import (
     BN_EPS_SPARSE,
     BN_MOMENTUM_SPARSE,
     ConvBlock,
+    MaskedBatchNorm,
     ResidualBlock,
+)
+from pillarnext_tpu.ops.sparse_bev import SparseBEV
+from pillarnext_tpu.ops.subm_conv import (
+    build_neighbor_table,
+    subm_conv,
+    subm_offsets_2d,
 )
 
 
+class _SubMConv(nn.Module):
+    """SubM conv parameter holder; kernel stored HWIO exactly like nn.Conv so
+    dense/sparse checkpoints are interchangeable."""
+
+    features: int
+    kernel_size: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, nbr):
+        k, cin = self.kernel_size, x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, cin, self.features),
+        )
+        table = jnp.concatenate([x, jnp.zeros((1, cin), x.dtype)], axis=0)
+        kern = kernel.reshape(k * k, cin, self.features)
+        if self.dtype is not None:
+            kern = kern.astype(self.dtype)
+        return subm_conv(table, nbr, kern)
+
+
+class SparseConvBlock(nn.Module):
+    """SubM conv + masked BN + ReLU over the compact active-site table —
+    stride-1 twin of ConvBlock (reference sparse_conv.py:16-39).  Invalid
+    rows are re-zeroed after BN so the dump-row invariant holds for the next
+    conv's inactive taps."""
+
+    features: int
+    kernel_size: int = 3
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, valid, nbr, train: bool = False):
+        x = _SubMConv(self.features, self.kernel_size, self.dtype, name="Conv_0")(x, nbr)
+        x = MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="BatchNorm_0")(
+            x, valid, train
+        )
+        return jnp.where(valid[:, None], nn.relu(x), 0.0)
+
+
+class SparseResidualBlock(nn.Module):
+    """SubM residual block (reference sparse_conv.py:42-63): conv+BN+ReLU ->
+    conv+BN -> +identity -> ReLU, all over the fixed active set."""
+
+    features: int
+    kernel_size: int = 3
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, valid, nbr, train: bool = False):
+        identity = x
+        x = SparseConvBlock(
+            self.features, self.kernel_size, self.axis_name, self.dtype,
+            name="ConvBlock_0",
+        )(x, valid, nbr, train)
+        x = _SubMConv(self.features, self.kernel_size, self.dtype, name="Conv_0")(x, nbr)
+        x = MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="BatchNorm_0")(
+            x, valid, train
+        )
+        return jnp.where(valid[:, None], nn.relu(x + identity), 0.0)
+
+
+class _SparseStage(nn.Module):
+    """One leading stride-1 backbone stage over the compact table, with the
+    same param tree (down + block_j) as the dense _Stage."""
+
+    features: int
+    kernel_size: int
+    num_blocks: int
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, valid, nbr, train: bool = False):
+        x = SparseConvBlock(
+            self.features, self.kernel_size, self.axis_name, self.dtype, name="down"
+        )(x, valid, nbr, train)
+        for j in range(self.num_blocks):
+            x = SparseResidualBlock(
+                self.features, self.kernel_size, self.axis_name, self.dtype,
+                name=f"block_{j}",
+            )(x, valid, nbr, train)
+        return x
+
+
 class _Stage(nn.Module):
-    """One backbone stage: strided ConvBlock + residual blocks."""
+    """One backbone stage: strided ConvBlock + residual blocks.
+
+    ``mask`` is the stage's OUTPUT active set (B, H_out, W_out, 1): the
+    strided conv dilates the active set like spconv's SparseConv; the
+    residual blocks are SubM (set-preserving) — see SparseResNet.
+
+    In training every *block* is rematerialized individually (not the stage
+    as a whole): the backward then keeps one block's conv/BN internals live
+    at a time instead of the whole stage's — at the 1344x1344 stage-0
+    resolution that is the difference between ~0.5 GB and ~5 GB of f32
+    backward temps per sample."""
 
     features: int
     stride: int
@@ -40,8 +147,10 @@ class _Stage(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = ConvBlock(
+    def __call__(self, x, train: bool = False, mask=None):
+        conv_cls = nn.remat(ConvBlock, static_argnums=(2,)) if train else ConvBlock
+        res_cls = nn.remat(ResidualBlock, static_argnums=(2,)) if train else ResidualBlock
+        x = conv_cls(
             self.features,
             kernel_size=self.kernel_size,
             stride=self.stride,
@@ -49,14 +158,16 @@ class _Stage(nn.Module):
             bn_momentum=BN_MOMENTUM_SPARSE,
             axis_name=self.axis_name,
             dtype=self.dtype,
-        )(x, train)
-        for _ in range(self.num_blocks):
-            x = ResidualBlock(
+            name="down",
+        )(x, train, mask)
+        for j in range(self.num_blocks):
+            x = res_cls(
                 self.features,
                 kernel_size=self.kernel_size,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
-            )(x, train)
+                name=f"block_{j}",
+            )(x, train, mask)
         return x
 
 
@@ -76,22 +187,87 @@ class SparseResNet(nn.Module):
     num_input_features: int
     kernel_size: Sequence[int] = (3, 3, 3, 3)
     out_channels: int = 256
+    force_dense_train: bool = False  # debug/testing: masked-dense in train too
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        """Input: dense (B, H, W, C) image or a SparseBEV.
+
+        With a SparseBEV the backbone is active-set-exact (spconv
+        semantics): stride-1 stages are SubM (set-preserving), strided
+        stages dilate the set like SparseConv, and every BN/output is
+        restricted to the set.  Two compute paths share one param tree:
+
+        - train: leading stride-1 stages run as gather+MXU SubM convs over
+          the compact table (stage-0 at 1344^2 would otherwise cost ~7 GB
+          of conv-backward temps per sample); densified after.
+        - eval: everything runs as dense convs re-masked after every block
+          (identical values on the active set, dense-conv speed).
+        """
+        start = 0
+        mask = None
+        if isinstance(x, SparseBEV):
+            sb = x
+            n_sparse = 0
+            while (
+                n_sparse < len(self.layer_nums)
+                and self.ds_layer_strides[n_sparse] == 1
+            ):
+                n_sparse += 1
+            mask = (sb.slot_of_dense < sb.capacity).reshape(
+                sb.batch, *sb.spatial, 1
+            )
+            if train and n_sparse and not self.force_dense_train:
+                nbr = build_neighbor_table(
+                    sb.slot_of_dense,
+                    sb.slot_id,
+                    sb.spatial,
+                    subm_offsets_2d(self.kernel_size[0]),
+                    sb.capacity,
+                )
+                feats = sb.table[:-1]
+                for i in range(n_sparse):
+                    feats = _SparseStage(
+                        self.ds_num_filters[i],
+                        self.kernel_size[i],
+                        self.layer_nums[i],
+                        axis_name=self.axis_name,
+                        dtype=self.dtype,
+                        name=f"stage_{i}",
+                    )(feats, sb.valid, nbr, train)
+                x = sb.with_table(feats).to_dense()
+                start = n_sparse
+            else:
+                x = sb.to_dense()
+            mask = mask.astype(x.dtype)
+
         stage_cls = nn.remat(_Stage, static_argnums=(2,)) if train else _Stage
-        for i, num_blocks in enumerate(self.layer_nums):
+        for i in range(start, len(self.layer_nums)):
+            if mask is not None and self.ds_layer_strides[i] > 1:
+                # strided SparseConv dilates the active set (output site is
+                # active if any input site in its k x k window is)
+                s = self.ds_layer_strides[i]
+                k = self.kernel_size[i]
+                p = k // 2
+                mask = jax.lax.reduce_window(
+                    mask,
+                    jnp.array(0, mask.dtype),
+                    jax.lax.max,
+                    (1, k, k, 1),
+                    (1, s, s, 1),
+                    ((0, 0), (p, p), (p, p), (0, 0)),
+                )
             x = stage_cls(
                 self.ds_num_filters[i],
                 self.ds_layer_strides[i],
                 self.kernel_size[i],
-                num_blocks,
+                self.layer_nums[i],
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 name=f"stage_{i}",
-            )(x, train)
+            )(x, train, mask)
         x = ConvBlock(
             self.out_channels,
             kernel_size=1,
@@ -99,8 +275,9 @@ class SparseResNet(nn.Module):
             bn_momentum=BN_MOMENTUM_SPARSE,
             axis_name=self.axis_name,
             dtype=self.dtype,
-        )(x, train)
+        )(x, train, mask)
         return x
+
 
 
 class SparseResNet3D(nn.Module):

@@ -1,0 +1,159 @@
+"""Submanifold sparse convolution as gather + MXU matmul.
+
+The TPU-native equivalent of spconv's ``SubMConv2d`` (reference
+det3d/models/utils/sparse_conv.py:16-63, used by SparseResNet's stride-1
+stages, sparse_resnet.py:50-59): outputs are computed ONLY at active sites;
+inactive neighbors contribute zeros.  On the nuScenes 1344x1344 pillar grid
+~4% of cells are active, so this is ~13x fewer FLOPs than a dense conv — and
+it reproduces the reference's active-set semantics exactly (a dense conv +
+BN would bleed a nonzero constant into empty cells; SubM never does).
+
+Layout: active sites live in a fixed-capacity compact table ``(cap + 1, C)``
+whose last row is an all-zero dump row (built by ops/compact.py).  A
+neighbor-index table ``(cap, K)`` — slot index of each kernel-tap neighbor,
+``cap`` where the neighbor is inactive/out-of-range — is built once per
+frame from the dense->slot map and reused by every conv in the stage.
+
+The convolution is then a K*Cin gather followed by one MXU matmul:
+
+    y[s] = concat_k x[nbr[s, k]] @ W        W: (K*Cin, Cout)
+
+Backward (custom VJP; autodiff would emit a serializing scatter-add):
+  - dx = SubM conv of dy with the spatially mirrored, transposed kernel —
+    exact because the active set is closed under neighborhood mirroring:
+    nbr[s, k] = j  <=>  nbr[j, K-1-k] = s  for active s, j (offsets are
+    symmetric around 0 and both lookups go through the same dense map).
+  - dW[k] = x_gathered^T @ dy — one matmul.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def subm_offsets_2d(kernel_size: int = 3) -> np.ndarray:
+    """Row-major (dy, dx) offsets, centered; K = kernel_size**2."""
+    r = kernel_size // 2
+    return np.array(
+        [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)],
+        np.int32,
+    )
+
+
+def subm_offsets_3d(kernel_size: int = 3) -> np.ndarray:
+    """Row-major (dz, dy, dx) offsets, centered; K = kernel_size**3."""
+    r = kernel_size // 2
+    return np.array(
+        [
+            (dz, dy, dx)
+            for dz in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+            for dx in range(-r, r + 1)
+        ],
+        np.int32,
+    )
+
+
+def build_neighbor_table(
+    slot_of_dense: jnp.ndarray,
+    slot_id: jnp.ndarray,
+    spatial: tuple[int, ...],
+    offsets: np.ndarray,
+    cap: int,
+) -> jnp.ndarray:
+    """Neighbor slot indices for every active slot.
+
+    Args:
+        slot_of_dense: (B * prod(spatial),) int32 dense-position -> slot,
+            ``cap`` where the cell is empty.
+        slot_id: (cap,) int32 dense position of each slot (row-major over
+            (B, *spatial)); unused slots hold an out-of-range id.
+        spatial: the dense grid shape, e.g. (H, W) or (D, H, W).
+        offsets: (K, len(spatial)) int32 kernel-tap offsets.
+        cap: table capacity (dump slot index).
+
+    Returns:
+        (cap, K) int32 — neighbor slot per tap, ``cap`` when inactive.
+    """
+    ndim = len(spatial)
+    sizes = np.asarray(spatial, np.int64)
+    strides = np.concatenate([np.cumprod(sizes[::-1])[::-1][1:], [1]]).astype(np.int32)
+    cell = int(np.prod(sizes))
+
+    d = slot_id.astype(jnp.int32)
+    in_table = d < slot_of_dense.shape[0]
+    d_safe = jnp.where(in_table, d, 0)
+    rem = d_safe % cell
+    coords = []
+    for i in range(ndim):
+        coords.append(rem // int(strides[i]))
+        rem = rem % int(strides[i])
+
+    nbrs = []
+    for k in range(offsets.shape[0]):
+        nd = d_safe
+        ok = in_table
+        for i in range(ndim):
+            ci = coords[i] + int(offsets[k, i])
+            ok = ok & (ci >= 0) & (ci < int(sizes[i]))
+            nd = nd + int(offsets[k, i]) * int(strides[i])
+        nd = jnp.where(ok, nd, 0)
+        nbrs.append(jnp.where(ok, slot_of_dense[nd], cap))
+    return jnp.stack(nbrs, axis=-1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def subm_conv(table: jnp.ndarray, nbr: jnp.ndarray, kernel: jnp.ndarray, precision=None):
+    """SubM conv over a compact active-site table.
+
+    Args:
+        table: (cap + 1, Cin); row ``cap`` MUST be all-zero (dump row).
+        nbr: (cap, K) int32 neighbor slots (``cap`` = inactive).
+        kernel: (K, Cin, Cout).
+
+    Returns:
+        (cap, Cout) — same active set (append a zero row before chaining).
+    """
+    return _subm_fwd_impl(table, nbr, kernel, precision)
+
+
+def _subm_fwd_impl(table, nbr, kernel, precision):
+    cap, k = nbr.shape
+    cin = table.shape[-1]
+    x = table[nbr.reshape(-1)].reshape(cap, k * cin)
+    return jax.lax.dot(
+        x, kernel.reshape(k * cin, -1).astype(table.dtype), precision=precision
+    )
+
+
+def _subm_fwd(table, nbr, kernel, precision):
+    return _subm_fwd_impl(table, nbr, kernel, precision), (table, nbr, kernel)
+
+
+def _subm_bwd(precision, res, g):
+    table, nbr, kernel = res
+    cap, k = nbr.shape
+    cin = table.shape[-1]
+    cout = kernel.shape[-1]
+
+    # dW: re-gather x (cheap; avoids saving the (cap, K*Cin) buffer)
+    x = table[nbr.reshape(-1)].reshape(cap, k * cin)
+    dk = jax.lax.dot(
+        x.T.astype(jnp.float32), g.astype(jnp.float32), precision=precision
+    ).reshape(k, cin, cout)
+
+    # dx: mirrored-transposed SubM conv of g over the same active set
+    g_pad = jnp.concatenate([g, jnp.zeros((1, cout), g.dtype)], axis=0)
+    w_t = jnp.flip(kernel, axis=0).transpose(0, 2, 1)  # (K, Cout, Cin)
+    dx_active = _subm_fwd_impl(g_pad, nbr, w_t.astype(g.dtype), precision)
+    dx = jnp.concatenate(
+        [dx_active, jnp.zeros((1, cin), dx_active.dtype)], axis=0
+    )
+    return dx.astype(table.dtype), None, dk.astype(kernel.dtype)
+
+
+subm_conv.defvjp(_subm_fwd, _subm_bwd)

@@ -31,6 +31,19 @@ def build_model(model_cfg: dict):
         for key in ("reader", "backbone", "neck", "head"):
             if isinstance(cfg.get(key), dict) and "_target_" in cfg[key]:
                 cfg[key].setdefault("dtype", dtype)
+
+    # the pillar reader hands the backbone its compact active-site table when
+    # the backbone opens with stride-1 (SubM) stages — the reference's sparse
+    # path (sparse_resnet.py:50-59), here gather+MXU over ~4% of the grid
+    rd, bb = cfg.get("reader"), cfg.get("backbone")
+    if (
+        isinstance(rd, dict)
+        and str(rd.get("_target_", "")).split(".")[-1] == "PillarFeatureNet"
+        and isinstance(bb, dict)
+        and str(bb.get("_target_", "")).split(".")[-1] == "SparseResNet"
+        and list(bb.get("ds_layer_strides", [0]))[0] == 1
+    ):
+        rd.setdefault("output", "sparse")
     return instantiate(cfg)
 
 

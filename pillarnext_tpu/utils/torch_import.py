@@ -136,11 +136,11 @@ def import_pillarnext(
     # ---- backbone: stage_{i} (strided ConvBlock + residual blocks) + mapping
     in_ch = num_input_features
     for si, n_blocks in enumerate(layer_nums):
-        sp, ss = {"ConvBlock_0": {}}, {"ConvBlock_0": {}}
-        _conv_block(sp["ConvBlock_0"], ss["ConvBlock_0"], f"backbone.blocks.{si}.0", sd, in_ch)
+        sp, ss = {"down": {}}, {"down": {}}
+        _conv_block(sp["down"], ss["down"], f"backbone.blocks.{si}.0", sd, in_ch)
         in_ch = ds_num_filters[si]
         for bi in range(n_blocks):
-            key = f"ResidualBlock_{bi}"
+            key = f"block_{bi}"
             sp[key], ss[key] = {}, {}
             _residual_block(sp[key], ss[key], f"backbone.blocks.{si}.{bi + 1}", sd, in_ch)
         params["backbone"][f"stage_{si}"] = sp

@@ -1,0 +1,233 @@
+"""Submanifold gather+matmul conv (ops/subm_conv.py): equivalence with a
+dense conv at active sites, mirror-transpose custom VJP vs autodiff, and
+sparse/dense backbone param-tree interchangeability.
+
+Reference semantics: spconv SubMConv2d (det3d/models/utils/sparse_conv.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pillarnext_tpu.ops.compact import compactify
+from pillarnext_tpu.ops.subm_conv import (
+    build_neighbor_table,
+    subm_conv,
+    subm_offsets_2d,
+    subm_offsets_3d,
+)
+
+
+def _random_scene(rng, b, h, w, cin, n_active, cap):
+    """Random active cells on a (b, h, w) grid -> compact table + maps."""
+    hw = h * w
+    ids = rng.choice(b * hw, size=n_active, replace=False).astype(np.int32)
+    pad = np.full((cap - n_active,), b * hw, np.int32)
+    all_ids = jnp.asarray(np.concatenate([ids, pad]))
+    order, slot, slot_id = compactify(all_ids, b * hw, cap)
+
+    feats = rng.normal(size=(cap, cin)).astype(np.float32)
+    valid = np.asarray(slot_id) < b * hw
+    feats[~valid] = 0.0
+
+    shadow = b * hw + np.arange(cap, dtype=np.int32)
+    target = np.where(valid, np.asarray(slot_id), shadow)
+    sod = np.full((b * hw + cap,), cap, np.int32)
+    sod[target] = np.arange(cap, dtype=np.int32)
+    return (
+        jnp.asarray(feats),
+        jnp.asarray(valid),
+        jnp.asarray(sod[: b * hw]),
+        slot_id,
+    )
+
+
+def _dense_of(table_cap, slot_of_dense, b, h, w):
+    pad = jnp.concatenate(
+        [table_cap, jnp.zeros((1, table_cap.shape[-1]), table_cap.dtype)], axis=0
+    )
+    return pad[slot_of_dense].reshape(b, h, w, -1)
+
+
+@pytest.mark.parametrize("b,h,w", [(1, 16, 16), (2, 9, 13)])
+def test_subm_conv_matches_dense_conv_at_active_sites(b, h, w):
+    rng = np.random.default_rng(0)
+    cin, cout, cap = 8, 16, 64
+    n_active = 40
+    feats, valid, sod, slot_id = _random_scene(rng, b, h, w, cin, n_active, cap)
+
+    nbr = build_neighbor_table(sod, slot_id, (h, w), subm_offsets_2d(3), cap)
+    kernel = jnp.asarray(rng.normal(size=(9, cin, cout)).astype(np.float32))
+
+    table = jnp.concatenate([feats, jnp.zeros((1, cin))], axis=0)
+    out_sparse = subm_conv(table, nbr, kernel)
+
+    dense_in = _dense_of(feats, sod, b, h, w)
+    khwio = kernel.reshape(3, 3, cin, cout)
+    out_dense = jax.lax.conv_general_dilated(
+        dense_in, khwio, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ).reshape(b * h * w, cout)
+
+    # compare at active sites (SubM computes nothing elsewhere)
+    active_rows = np.asarray(slot_id)[np.asarray(valid)]
+    got = np.asarray(out_sparse)[np.asarray(valid)]
+    want = np.asarray(out_dense)[active_rows]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_subm_conv_custom_vjp_matches_autodiff():
+    rng = np.random.default_rng(1)
+    b, h, w, cin, cout, cap = 1, 12, 12, 6, 10, 48
+    feats, valid, sod, slot_id = _random_scene(rng, b, h, w, cin, cap=cap, n_active=30)
+    nbr = build_neighbor_table(sod, slot_id, (h, w), subm_offsets_2d(3), cap)
+    kernel = jnp.asarray(rng.normal(size=(9, cin, cout)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(cap, cout)).astype(np.float32))
+
+    def naive(table, kern):
+        x = table[nbr.reshape(-1)].reshape(cap, 9 * cin)
+        return x @ kern.reshape(9 * cin, cout)
+
+    def custom(table, kern):
+        return subm_conv(table, nbr, kern)
+
+    table = jnp.concatenate([feats, jnp.zeros((1, cin))], axis=0)
+    out_n, vjp_n = jax.vjp(naive, table, kernel)
+    out_c, vjp_c = jax.vjp(custom, table, kernel)
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_c), rtol=1e-5)
+
+    dt_n, dk_n = vjp_n(cot)
+    dt_c, dk_c = vjp_c(cot)
+    np.testing.assert_allclose(np.asarray(dk_n), np.asarray(dk_c), rtol=1e-4, atol=1e-4)
+    # table grads agree on real rows; the dump row's cotangent is
+    # intentionally dropped (provably dead downstream — see ops/subm_conv.py)
+    np.testing.assert_allclose(
+        np.asarray(dt_n)[:-1], np.asarray(dt_c)[:-1], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_neighbor_table_3d_center_tap_is_self():
+    rng = np.random.default_rng(2)
+    d = h = w = 6
+    cap = 32
+    ids = rng.choice(d * h * w, size=20, replace=False).astype(np.int32)
+    all_ids = jnp.asarray(
+        np.concatenate([ids, np.full((cap - 20,), d * h * w, np.int32)])
+    )
+    order, slot, slot_id = compactify(all_ids, d * h * w, cap)
+    valid = np.asarray(slot_id) < d * h * w
+    shadow = d * h * w + np.arange(cap, dtype=np.int32)
+    target = np.where(valid, np.asarray(slot_id), shadow)
+    sod = np.full((d * h * w + cap,), cap, np.int32)
+    sod[target] = np.arange(cap, dtype=np.int32)
+
+    offs = subm_offsets_3d(3)
+    assert offs.shape == (27, 3) and tuple(offs[13]) == (0, 0, 0)
+    nbr = build_neighbor_table(
+        jnp.asarray(sod[: d * h * w]), slot_id, (d, h, w), offs, cap
+    )
+    center = np.asarray(nbr)[:, 13]
+    np.testing.assert_array_equal(center[valid], np.arange(cap)[valid])
+    assert (center[~valid] == cap).all()
+
+
+def test_sparse_dense_backbone_param_trees_match():
+    """output='sparse' and output='dense' flagship models share one param
+    tree -> checkpoints are interchangeable between the two compute paths."""
+    from pillarnext_tpu.models.pillar_encoder import PillarFeatureNet
+    from pillarnext_tpu.models.resnet import SparseResNet
+
+    common = dict(
+        num_input_features=5,
+        num_filters=[32, 32],
+        voxel_size=[1.0, 1.0, 8.0],
+        pc_range=[-8.0, -8.0, -5.0, 8.0, 8.0, 3.0],
+        pillar_capacity=64,
+    )
+    bb = SparseResNet(
+        layer_nums=[1, 1],
+        ds_layer_strides=[1, 2],
+        ds_num_filters=[32, 48],
+        num_input_features=32,
+        kernel_size=(3, 3),
+        out_channels=48,
+    )
+    pts = jnp.asarray(np.random.default_rng(3).normal(size=(1, 128, 5)) * 4)
+    mask = jnp.ones((1, 128), bool)
+
+    trees = {}
+    for mode in ("dense", "sparse"):
+        rd = PillarFeatureNet(output=mode, **common)
+
+        def fwd(points, m):
+            import flax.linen as fnn
+
+            class M(fnn.Module):
+                @fnn.compact
+                def __call__(self, p, q):
+                    return bb.copy(name="backbone")(rd.copy(name="reader")(p, q))
+
+            return M()
+
+        v = fwd(pts, mask).init(jax.random.PRNGKey(0), pts, mask)
+        trees[mode] = jax.tree.map(lambda x: (x.shape, str(x.dtype)), v)
+    assert jax.tree_util.tree_structure(trees["dense"]) == jax.tree_util.tree_structure(
+        trees["sparse"]
+    )
+    assert trees["dense"] == trees["sparse"]
+
+
+def test_sparse_train_path_equals_masked_dense_path():
+    """The gather-based SubM train path and the masked-dense path produce
+    identical features on the active set and identical BN stat updates —
+    one param tree, two compute paths (models/resnet.py)."""
+    from pillarnext_tpu.models.pillar_encoder import PillarFeatureNet
+    from pillarnext_tpu.models.resnet import SparseResNet
+
+    rng = np.random.default_rng(7)
+    common = dict(
+        num_input_features=5,
+        num_filters=[16, 16],
+        voxel_size=[1.0, 1.0, 8.0],
+        pc_range=[-12.0, -12.0, -5.0, 12.0, 12.0, 3.0],
+        pillar_capacity=128,
+        output="sparse",
+    )
+    bb_kw = dict(
+        layer_nums=[1, 1],
+        ds_layer_strides=[1, 2],
+        ds_num_filters=[16, 24],
+        num_input_features=16,
+        kernel_size=(3, 3),
+        out_channels=24,
+    )
+    pts = jnp.asarray(rng.normal(size=(2, 256, 5)).astype(np.float32) * 6)
+    mask = jnp.ones((2, 256), bool)
+
+    import flax.linen as fnn
+
+    class M(fnn.Module):
+        force: bool
+
+        @fnn.compact
+        def __call__(self, p, q, train=False):
+            sb = PillarFeatureNet(**common, name="reader")(p, q, train)
+            return SparseResNet(
+                **bb_kw, force_dense_train=self.force, name="backbone"
+            )(sb, train)
+
+    m_sparse, m_dense = M(False), M(True)
+    v = m_sparse.init(jax.random.PRNGKey(0), pts, mask)
+
+    out_s, mut_s = m_sparse.apply(v, pts, mask, True, mutable=["batch_stats"])
+    out_d, mut_d = m_dense.apply(v, pts, mask, True, mutable=["batch_stats"])
+
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_d), rtol=2e-2, atol=2e-2
+    )
+    for (ks, vs), (kd, vd) in zip(
+        jax.tree_util.tree_leaves_with_path(mut_s["batch_stats"]),
+        jax.tree_util.tree_leaves_with_path(mut_d["batch_stats"]),
+    ):
+        assert ks == kd
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vd), rtol=2e-2, atol=2e-2)
