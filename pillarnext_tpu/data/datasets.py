@@ -142,9 +142,14 @@ class NuScenesDataset(BaseDataset):
         if resampling:
             self.cbgs()
 
-    def cbgs(self):
+    def cbgs(self, seed: int = 0):
         """Class-balanced resampling: duplicate samples of rare classes so
-        every class is ~uniformly represented (nusc.py:50-70)."""
+        every class is ~uniformly represented (nusc.py:50-70).
+
+        Seeded with a cross-host-identical constant: every process must
+        build the SAME resampled infos list or the loader's
+        same-permutation-per-host shard contract (data/loader.py) silently
+        skews samples across hosts and desyncs len(train_loader)."""
         cls_infos = {name: [] for name in self._class_names}
         for info in self.infos:
             for name in set(info["gt_names"]):
@@ -154,11 +159,12 @@ class NuScenesDataset(BaseDataset):
         if total == 0:
             return
         frac = 1.0 / len(self._class_names)
+        rng = np.random.default_rng(seed)
         resampled = []
         for infos in cls_infos.values():
             ratio = frac / (len(infos) / total) if infos else 0.0
             if infos:
-                picks = np.random.choice(len(infos), int(len(infos) * ratio))
+                picks = rng.choice(len(infos), int(len(infos) * ratio))
                 resampled += [infos[i] for i in picks]
         self.infos = resampled
 

@@ -181,6 +181,20 @@ class TestDatasetPipeline:
             names.update(info["gt_names"])
         assert {"car", "pedestrian"} <= names
 
+    def test_cbgs_is_deterministic_across_processes(self, tmp_path):
+        """Two independently constructed datasets (as on two hosts) must
+        resample to the IDENTICAL infos sequence, or the per-host loader
+        shards silently diverge (multi-host contract, data/loader.py)."""
+        make_mini_nuscenes(tmp_path / "n4d")
+        ds_a = make_dataset(tmp_path / "n4d")
+        ds_b = make_dataset(tmp_path / "n4d")
+        # simulate different ambient RNG state per process
+        np.random.seed(1)
+        ds_a.cbgs()
+        np.random.seed(999)
+        ds_b.cbgs()
+        assert [i["token"] for i in ds_a.infos] == [i["token"] for i in ds_b.infos]
+
 
 class TestLoader:
     def test_shard_partition_and_determinism(self, tmp_path):
