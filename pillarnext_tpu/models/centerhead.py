@@ -66,6 +66,92 @@ class SepHead(nn.Module):
         return out
 
 
+class MergedSepHeads(nn.Module):
+    """All task groups' SepHeads fused into task-batched convolutions.
+
+    The reference runs one SepHead per task group sequentially
+    (centerhead.py:120-126) — on the flagship that is 6 deblocks + 84 small
+    3x3 convs of 64 channels, each a separate underfilled MXU dispatch.
+    Because every task reads the SAME shared feature map, the per-task
+    weights can be concatenated along output channels/groups with *identical
+    math*:
+
+      - deblock: one ConvTranspose 64 -> T*64 (+ BN over T*64, per-channel =
+        per-task) — exact concatenation of the T deblocks.
+      - branch conv1 (+BN+ReLU): one grouped conv, feature_group_count=T,
+        64 -> T*(R*64) where R = #branches — exact.
+      - branch conv2: per branch one grouped conv T*(64) -> T*out — exact.
+
+    hm branches with different class counts are padded to max(num_cls) and
+    sliced per task.  Param layout is merged (import via
+    utils/torch_import.py, which concatenates the reference's per-task
+    tensors); requires every task to share stride and num_conv==2.
+    """
+
+    heads: Mapping[str, tuple[int, int]]  # branch -> (out_channels, num_conv)
+    num_tasks: int
+    hm_sizes: Sequence[int]  # per-task class count
+    stride: int = 1
+    head_conv: int = 64
+    init_bias: float = -2.19
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        t = self.num_tasks
+        hc = self.head_conv
+        hm_pad = max(self.hm_sizes)
+        branches = dict(self.heads)
+        branches["hm"] = (hm_pad, branches.get("hm", (hm_pad, 2))[1])
+        names = list(branches.keys())
+        r = len(names)
+
+        if self.stride > 1:
+            x = ConvTransposeBlock(
+                hc * t, self.stride, axis_name=self.axis_name, dtype=self.dtype,
+                name="deblock",
+            )(x, train)
+        else:
+            x = jnp.tile(x, (1, 1, 1, t))
+
+        # conv1 of every branch of every task: one grouped conv
+        h = nn.Conv(
+            t * r * hc, (3, 3), padding="SAME", feature_group_count=t,
+            use_bias=True, dtype=self.dtype, name="branch1",
+        )(x)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            axis_name=self.axis_name if train else None, dtype=self.dtype,
+            name="bn1",
+        )(h)
+        h = nn.relu(h)
+
+        outs = [dict() for _ in range(t)]
+        for bi, name in enumerate(names):
+            c_out, num_conv = branches[name]
+            assert num_conv == 2, "MergedSepHeads requires num_conv == 2"
+            # input channels of branch `name` across tasks: task-major layout
+            hin = jnp.concatenate(
+                [
+                    h[..., (ti * r + bi) * hc : (ti * r + bi) * hc + hc]
+                    for ti in range(t)
+                ],
+                axis=-1,
+            )
+            bias_init = self.init_bias if name == "hm" else 0.0
+            y = nn.Conv(
+                t * c_out, (3, 3), padding="SAME", feature_group_count=t,
+                use_bias=True,
+                bias_init=nn.initializers.constant(bias_init),
+                dtype=self.dtype, name=f"out_{name}",
+            )(hin)
+            for ti in range(t):
+                width = self.hm_sizes[ti] if name == "hm" else c_out
+                outs[ti][name] = y[..., ti * c_out : ti * c_out + width]
+        return outs
+
+
 class CenterHead(nn.Module):
     in_channels: int
     tasks: Sequence[Sequence[str]]  # class names per task group
@@ -77,6 +163,7 @@ class CenterHead(nn.Module):
     share_conv_channel: int = 64
     num_hm_conv: int = 2
     with_reg_iou: bool = False
+    merge_tasks: bool = True
     voxel_size: Sequence[float] | None = None
     pc_range: Sequence[float] | None = None
     out_size_factor: Sequence[int] | None = None
@@ -108,9 +195,31 @@ class CenterHead(nn.Module):
         )(x)
         x = nn.relu(x)
 
+        heads_common = {
+            k: (int(v[0]), int(v[1])) for k, v in self.common_heads.items()
+        }
+        uniform = (
+            self.merge_tasks
+            and len(set(int(s) for s in self.strides)) == 1
+            and all(int(v[1]) == 2 for v in self.common_heads.values())
+            and self.num_hm_conv == 2
+        )
+        if uniform:
+            return MergedSepHeads(
+                heads_common,
+                num_tasks=len(self.tasks),
+                hm_sizes=tuple(self.num_classes),
+                stride=int(self.strides[0]),
+                head_conv=self.share_conv_channel,
+                init_bias=self.init_bias,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                name="merged",
+            )(x, train)
+
         outs = []
         for task_id, (num_cls, stride) in enumerate(zip(self.num_classes, self.strides)):
-            heads = {k: (int(v[0]), int(v[1])) for k, v in self.common_heads.items()}
+            heads = dict(heads_common)
             heads["hm"] = (num_cls, self.num_hm_conv)
             outs.append(
                 SepHead(

@@ -107,6 +107,94 @@ def _dense_basic_block(p, s, prefix, sd, ch):
         _conv_block(p[key], s[key], f"{prefix}.block{j + 1}", sd, ch)
 
 
+def _import_merged_head(hp, hs, sd, tasks, common_heads, head_conv):
+    """Concatenate the reference's per-task SepHead tensors into the
+    MergedSepHeads layout (models/centerhead.py): deblock/branch1/bn1 merged
+    task-major, per-branch final convs grouped by task with hm padded to
+    max class count."""
+    t = len(tasks)
+    branches = {k: (int(v[0]), int(v[1])) for k, v in common_heads.items()}
+    hm_pad = max(len(task) for task in tasks)
+    branches["hm"] = (hm_pad, 2)
+    names = list(branches.keys())
+
+    # deblock: ConvTranspose kernels concat along out axis; BN concat
+    db_k = [
+        conv_transpose_kernel(sd.pop(f"head.tasks.{ti}.deblock.conv.weight"))
+        for ti in range(t)
+    ]
+    bn = {"scale": [], "bias": [], "mean": [], "var": []}
+    for ti in range(t):
+        pre = f"head.tasks.{ti}.deblock.norm"
+        bn["scale"].append(sd.pop(f"{pre}.weight"))
+        bn["bias"].append(sd.pop(f"{pre}.bias"))
+        bn["mean"].append(sd.pop(f"{pre}.running_mean"))
+        bn["var"].append(sd.pop(f"{pre}.running_var"))
+        sd.pop(f"{pre}.num_batches_tracked", None)
+    hp["merged"] = {
+        "deblock": {
+            "ConvTranspose_0": {"kernel": np.concatenate(db_k, axis=-1)},
+            "BatchNorm_0": {
+                "scale": np.concatenate(bn["scale"]),
+                "bias": np.concatenate(bn["bias"]),
+            },
+        }
+    }
+    hs["merged"] = {
+        "deblock": {
+            "BatchNorm_0": {
+                "mean": np.concatenate(bn["mean"]),
+                "var": np.concatenate(bn["var"]),
+            }
+        }
+    }
+
+    # branch1: per (task, branch) first conv + BN, task-major concat
+    k1, b1 = [], []
+    bn1 = {"scale": [], "bias": [], "mean": [], "var": []}
+    for ti in range(t):
+        for name in names:
+            tname = name
+            k1.append(conv_kernel(sd.pop(f"head.tasks.{ti}.{tname}.0.weight"), head_conv))
+            b1.append(sd.pop(f"head.tasks.{ti}.{tname}.0.bias"))
+            pre = f"head.tasks.{ti}.{tname}.1"
+            bn1["scale"].append(sd.pop(f"{pre}.weight"))
+            bn1["bias"].append(sd.pop(f"{pre}.bias"))
+            bn1["mean"].append(sd.pop(f"{pre}.running_mean"))
+            bn1["var"].append(sd.pop(f"{pre}.running_var"))
+            sd.pop(f"{pre}.num_batches_tracked", None)
+    hp["merged"]["branch1"] = {
+        "kernel": np.concatenate(k1, axis=-1),
+        "bias": np.concatenate(b1),
+    }
+    hp["merged"]["bn1"] = {
+        "scale": np.concatenate(bn1["scale"]),
+        "bias": np.concatenate(bn1["bias"]),
+    }
+    hs["merged"]["bn1"] = {
+        "mean": np.concatenate(bn1["mean"]),
+        "var": np.concatenate(bn1["var"]),
+    }
+
+    # per-branch final convs: grouped by task; hm zero-padded to hm_pad
+    for name in names:
+        c_out = branches[name][0]
+        ks, bs = [], []
+        for ti in range(t):
+            k = conv_kernel(sd.pop(f"head.tasks.{ti}.{name}.3.weight"), head_conv)
+            b = sd.pop(f"head.tasks.{ti}.{name}.3.bias")
+            if name == "hm" and k.shape[-1] < c_out:
+                padn = c_out - k.shape[-1]
+                k = np.concatenate([k, np.zeros(k.shape[:-1] + (padn,), k.dtype)], -1)
+                b = np.concatenate([b, np.full((padn,), -2.19, b.dtype)])
+            ks.append(k)
+            bs.append(b)
+        hp["merged"][f"out_{name}"] = {
+            "kernel": np.concatenate(ks, axis=-1),
+            "bias": np.concatenate(bs),
+        }
+
+
 def import_pillarnext(
     state_dict: dict[str, np.ndarray],
     *,
@@ -118,6 +206,7 @@ def import_pillarnext(
     tasks=(),
     common_heads=None,
     num_hm_conv=2,
+    merge_tasks=True,
 ) -> tuple[dict, dict]:
     """Convert a pillarnet18(_aspp) state_dict -> (params, batch_stats)."""
     sd = dict(state_dict)
@@ -181,6 +270,18 @@ def import_pillarnext(
     _bn(params["head"]["shared_bn"], stats["head"]["shared_bn"], "head.shared_conv.1", sd)
 
     head_conv = 64
+    if merge_tasks and all(int(v[1]) == 2 for v in (common_heads or {}).values()):
+        _import_merged_head(
+            params["head"], stats["head"], sd, tasks, common_heads, head_conv
+        )
+        leftovers = [k for k in sd if not k.endswith("num_batches_tracked")]
+        if leftovers:
+            raise ValueError(
+                f"unconsumed torch keys: {leftovers[:10]} "
+                f"(+{len(leftovers) - 10 if len(leftovers) > 10 else 0})"
+            )
+        return params, stats
+
     for ti, task in enumerate(tasks):
         tp, tsd = {}, {}
         # deblock = ConvBlock(conv_layer=ConvTranspose2d) {conv, norm}

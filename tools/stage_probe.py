@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Pipelined per-stage timing of the flagship eval path on the chip.
+
+Usage: python tools/stage_probe.py [batch] [npoints] [stage ...]
+Stages: reader dense stage0 feat forward predict nms
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import jax.numpy as jnp
+import numpy as np
+
+from pillarnext_tpu.utils import builders
+from pillarnext_tpu.utils.config import load_experiment
+
+args = [a for a in sys.argv[1:] if not a.isdigit()]
+nums = [int(a) for a in sys.argv[1:] if a.isdigit()]
+B = nums[0] if nums else 1
+N = nums[1] if len(nums) > 1 else 200_000
+STAGES = args or ["reader", "dense", "stage0", "feat", "forward", "predict"]
+
+cfg = load_experiment(
+    Path(__file__).resolve().parent.parent
+    / "pillarnext_tpu/configs/experiments/nusc_det_pp18_aspp_iou_sp.yaml"
+)
+model = builders.build_model(cfg["model"])
+
+rng = np.random.default_rng(0)
+r = np.minimum(np.abs(rng.gamma(2.0, 9.0, (B, N))), 50.0)
+theta = rng.uniform(-np.pi, np.pi, (B, N))
+pts = np.zeros((B, N, 5), np.float32)
+pts[..., 0] = r * np.cos(theta)
+pts[..., 1] = r * np.sin(theta)
+pts[..., 2] = np.clip(rng.normal(-1.2, 0.8, (B, N)), -3.0, 1.0)
+pts[..., 3] = rng.uniform(0, 1, (B, N))
+pts[..., 4] = rng.uniform(0, 0.5, (B, N))
+mask = np.ones((B, N), bool)
+pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
+variables = jax.jit(model.init)(jax.random.PRNGKey(0), pts_j[:1], mask_j[:1])
+jax.block_until_ready(variables)
+
+
+def timed(name, fn, reps=20):
+    t0 = time.perf_counter()
+    float(fn(variables, pts_j, mask_j))
+    print(f"{name:10s} compile+1st: {time.perf_counter() - t0:5.0f}s", flush=True)
+    t0 = time.perf_counter()
+    outs = [fn(variables, pts_j, mask_j) for _ in range(reps)]
+    float(outs[-1])
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:10s} B={B}: {dt * 1000:7.1f} ms  ({B / dt:6.2f} fps)", flush=True)
+
+
+def tsum(x):
+    return jnp.sum(x.astype(jnp.float32))
+
+
+if "reader" in STAGES:
+    @jax.jit
+    def f_reader(v, p, m):
+        sb = model.apply(v, p, m, method=lambda md, a, b: md.reader(a, b, False))
+        return tsum(sb.table) if hasattr(sb, "table") else tsum(sb)
+    timed("reader", f_reader)
+
+if "dense" in STAGES and model.reader.output == "sparse":
+    @jax.jit
+    def f_dense(v, p, m):
+        sb = model.apply(v, p, m, method=lambda md, a, b: md.reader(a, b, False))
+        return tsum(sb.to_dense())
+    timed("to_dense", f_dense)
+
+if "stage0" in STAGES:
+    @jax.jit
+    def f_stage0(v, p, m):
+        def go(md, a, b):
+            x = md.reader(a, b, False)
+            # just the first backbone stage via a truncated call is awkward;
+            # approximate: full backbone timing below instead
+            return md.backbone(x, False)
+        return tsum(model.apply(v, p, m, method=go))
+    timed("rdr+bb", f_stage0)
+
+if "feat" in STAGES:
+    @jax.jit
+    def f_feat(v, p, m):
+        return tsum(model.apply(v, p, m, method=lambda md, a, b: md.extract_feat(a, b, False)))
+    timed("feat", f_feat)
+
+if "forward" in STAGES:
+    @jax.jit
+    def f_fwd(v, p, m):
+        preds = model.apply(v, p, m)
+        return sum(tsum(x) for d in preds for x in d.values())
+    timed("forward", f_fwd)
+
+if "predict" in STAGES:
+    @jax.jit
+    def f_pred(v, p, m):
+        out = model.apply(v, {"points": p, "points_mask": m}, method=model.predict)
+        return out["scores"].sum()
+    timed("predict", f_pred)
