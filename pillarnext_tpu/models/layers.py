@@ -225,8 +225,13 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
-        return y.astype(x.dtype)
+        # fold into per-channel scale/shift and apply in x.dtype: the naive
+        # (x - mean) * rsqrt * scale + bias upcasts the whole activation to
+        # f32 (mean/var are f32), doubling HBM traffic of every masked block
+        # at BEV scale (measured 2x backbone time on-chip at 1344^2)
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        shift = bias - mean * inv
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
 class MLPHead(nn.Module):

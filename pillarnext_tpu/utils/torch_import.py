@@ -206,7 +206,7 @@ def import_pillarnext(
     tasks=(),
     common_heads=None,
     num_hm_conv=2,
-    merge_tasks=True,
+    merge_tasks=False,  # must match CenterHead.merge_tasks
 ) -> tuple[dict, dict]:
     """Convert a pillarnet18(_aspp) state_dict -> (params, batch_stats)."""
     sd = dict(state_dict)

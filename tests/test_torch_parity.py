@@ -173,7 +173,8 @@ def _randomize_bn_stats(model, rng):
 
 
 class TestCompositeParity:
-    def test_backbone_neck_head_forward_matches_torch(self):
+    @pytest.mark.parametrize("merge_tasks", [False, True])
+    def test_backbone_neck_head_forward_matches_torch(self, merge_tasks):
         rng = np.random.default_rng(0)
         tmodel = TModel()
         tmodel.eval()
@@ -198,6 +199,7 @@ class TestCompositeParity:
             out_channels=OUT_CH,
             tasks=TASKS,
             common_heads=COMMON,
+            merge_tasks=merge_tasks,
         )
         params.pop("reader")
         stats.pop("reader")
@@ -221,6 +223,7 @@ class TestCompositeParity:
             weight=0.25,
             code_weights=[1.0] * 10,
             common_heads=COMMON,
+            merge_tasks=merge_tasks,
             strides=[2, 2],
             rectifier=[[0.5], [0.5, 0.5]],
             voxel_size=[0.1, 0.1, 8],

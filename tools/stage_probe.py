@@ -34,6 +34,10 @@ cfg = load_experiment(
     Path(__file__).resolve().parent.parent
     / "pillarnext_tpu/configs/experiments/nusc_det_pp18_aspp_iou_sp.yaml"
 )
+import os
+
+if os.environ.get("PNX_NO_MERGE"):
+    cfg["model"]["head"]["merge_tasks"] = False
 model = builders.build_model(cfg["model"])
 
 rng = np.random.default_rng(0)
