@@ -1,18 +1,26 @@
-"""Host data loader: sharded, deterministic, prefetching.
+"""Host data loader: sharded, deterministic, multiprocess prefetching.
 
 Replaces the reference's torch DataLoader + DistributedSampler
-(det3d/datasets/loader/build_loader.py:8-27): each host iterates its own
-shard of a deterministically shuffled epoch permutation (seeded by epoch,
-like sampler.set_epoch, trainer.py:131-132), batches are collated to static
-shapes (data/collate.py), and worker threads overlap the numpy pipeline with
-device compute.  Batches are dropped-last so every step sees the same static
-shape (no recompiles).
+(det3d/datasets/loader/build_loader.py:8-27, 16 worker processes per GPU in
+configs/dataloader/default.yaml:4): each host iterates its own shard of a
+deterministically shuffled epoch permutation (seeded by epoch, like
+sampler.set_epoch, trainer.py:131-132); ``num_workers`` forked processes run
+the full numpy pipeline (GT-paste, multi-sweep decode, augment, assign,
+collate) in parallel and stream collated batches back over pickle pipes in
+order, overlapping host preprocessing with device compute.  Batches are
+dropped-last so every step sees the same static shape (no recompiles).
+
+Determinism: every batch is loaded under an RNG state derived from
+(seed, epoch, batch_index), so the sample stream is reproducible for a
+fixed worker count (same property as the reference's seeded torch workers;
+streams differ across worker counts because the GT-paste BatchSampler's
+cursor state lives per worker).
 """
 
 from __future__ import annotations
 
-import queue
-import threading
+import multiprocessing as mp
+import traceback
 from typing import Iterator
 
 import numpy as np
@@ -72,41 +80,60 @@ class DataLoader:
         for start in range(0, end, self.batch_size):
             yield idx[start : start + self.batch_size].tolist()
 
-    def _load_batch(self, indices: list[int], rng: np.random.Generator) -> dict:
+    def _load_batch(self, indices: list[int], batch_index: int) -> dict:
+        """Load one batch under a (seed, epoch, batch_index)-derived RNG state
+        — both the explicit collate rng and the pipeline's ambient np.random
+        (augmentations / GT-paste draw from the global stream, mirroring the
+        reference pipeline's use of np.random in seeded torch workers)."""
+        ss = np.random.SeedSequence([self.seed, self.epoch, batch_index])
+        np.random.seed(int(ss.generate_state(1)[0]))
+        rng = np.random.default_rng(ss)
         samples = [self.dataset[i] for i in indices]
         return collate(samples, self.max_points, rng)
 
+    def _worker_loop(self, batch_list, batch_ids, out_q):
+        try:
+            for bidx, idxs in zip(batch_ids, batch_list):
+                out_q.put(("ok", self._load_batch(idxs, bidx)))
+            out_q.put(("done", None))
+        except BaseException:
+            out_q.put(("error", traceback.format_exc()))
+
     def __iter__(self) -> Iterator[dict]:
-        rng = np.random.default_rng(self.seed * 7919 + self.epoch)
         batches = list(self._make_batches())
-        if self.num_workers <= 0:
-            for b in batches:
-                yield self._load_batch(b, rng)
+        w = self.num_workers
+        if w <= 0:
+            for i, b in enumerate(batches):
+                yield self._load_batch(b, i)
             return
 
-        # thread pool with an ordered bounded queue (prefetch depth = workers*2)
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
-        stop = threading.Event()
-
-        def producer():
-            try:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    out_q.put(self._load_batch(b, rng))
-            finally:
-                out_q.put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        # fork workers (dataset inherited by fork — nothing pickled on the
+        # way in); worker j handles batches j, j+w, ...; the parent drains
+        # queue (i mod w) so batches arrive in order while every worker
+        # prefetches up to its queue bound ahead
+        ctx = mp.get_context("fork")
+        queues = [ctx.Queue(maxsize=4) for _ in range(w)]
+        procs = [
+            ctx.Process(
+                target=self._worker_loop,
+                args=(batches[j::w], list(range(j, len(batches), w)), queues[j]),
+                daemon=True,
+            )
+            for j in range(w)
+        ]
+        for p in procs:
+            p.start()
         try:
-            while True:
-                item = out_q.get()
-                if item is None:
-                    break
-                yield item
+            for i in range(len(batches)):
+                tag, payload = queues[i % w].get()
+                if tag == "error":
+                    raise RuntimeError(f"dataloader worker failed:\n{payload}")
+                yield payload
         finally:
-            stop.set()
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)
 
 
 def build_dataloader(

@@ -217,6 +217,61 @@ class TestLoader:
         idx0c = np.concatenate(list(loaders[0]._make_batches()))
         assert not np.array_equal(idx0, idx0c)
 
+    def test_multiprocess_workers_match_inline(self, tmp_path):
+        """Forked workers must yield the same ordered batch stream as the
+        inline path (per-batch (seed, epoch, index) RNG derivation), and a
+        rerun must be identical (prefetch does not reorder)."""
+        make_mini_nuscenes(tmp_path / "n7", n_samples=8)
+        # no GT-paste: its BatchSampler cursor is per-process state, so the
+        # stream there is only deterministic per worker count (like torch)
+        ds = make_dataset(tmp_path / "n7", use_gt_sampling=False)
+        inline = DataLoader(ds, batch_size=2, max_points=2000, shuffle=True, seed=3)
+        mp2 = DataLoader(
+            ds, batch_size=2, max_points=2000, shuffle=True, seed=3, num_workers=2
+        )
+        ref = list(inline)
+        got = list(mp2)
+        rerun = list(mp2)
+        assert len(ref) == len(got) == len(rerun) == 4
+        for a, b in zip(got, rerun):
+            np.testing.assert_array_equal(a["points"], b["points"])
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a["points"], b["points"])
+            for t in range(len(a["hm"])):
+                np.testing.assert_array_equal(a["hm"][t], b["hm"][t])
+
+    def test_multiprocess_gt_paste_deterministic(self, tmp_path):
+        """With GT-paste, the mp stream must still be reproducible run-to-run
+        for a fixed worker count."""
+        make_mini_nuscenes(tmp_path / "n7b", n_samples=8)
+        ds = make_dataset(tmp_path / "n7b")
+        mk = lambda: DataLoader(
+            ds, batch_size=2, max_points=2000, shuffle=True, seed=5, num_workers=2
+        )
+        a, b = list(mk()), list(mk())
+        assert len(a) == len(b) == 4
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x["points"], y["points"])
+
+    def test_worker_exception_propagates(self, tmp_path):
+        make_mini_nuscenes(tmp_path / "n8", n_samples=4)
+        ds = make_dataset(tmp_path / "n8", use_gt_sampling=False)
+
+        class Boom:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                if i == 2:
+                    raise ValueError("boom")
+                return ds[i]
+
+        loader = DataLoader(
+            Boom(), batch_size=1, max_points=500, shuffle=False, num_workers=2
+        )
+        with pytest.raises(RuntimeError, match="boom"):
+            list(loader)
+
     def test_batches_are_static_shape(self, tmp_path):
         make_mini_nuscenes(tmp_path / "n6", n_samples=4)
         ds = make_dataset(tmp_path / "n6", use_gt_sampling=False)
@@ -253,6 +308,56 @@ class TestNuscenesEvalProtocol:
         assert m["mean_ap"] == pytest.approx(1.0, abs=1e-6)
         assert m["tp_errors"]["trans_err"] == pytest.approx(0.0, abs=1e-9)
         assert m["nd_score"] > 0.85
+
+    def test_attribute_error_scored_from_infos(self):
+        """With gt_attributes carried in the infos, AttrErr is real: correct
+        velocity-rule attributes -> 0, wrong -> 1, absent -> 1.0 prior."""
+        from pillarnext_tpu.data.nuscenes_eval import _attr_for
+
+        gt, dets = self._gt_and_perfect_dets()
+        # perfect: GT attribute equals what the velocity rules predict
+        for token in gt:
+            names, boxes = gt[token]["gt_names"], gt[token]["gt_boxes"]
+            gt[token]["gt_attributes"] = np.array(
+                [_attr_for(n, b[6:8]) for n, b in zip(names, boxes)]
+            )
+        m = nuscenes_eval.evaluate_protocol(gt, dets, ["car", "pedestrian"])
+        assert m["tp_errors"]["attr_err"] == pytest.approx(0.0, abs=1e-9)
+
+        # adversarial: every GT attribute contradicts the velocity rules
+        wrong = {"car": "vehicle.parked", "pedestrian": "pedestrian.moving"}
+        for token in gt:
+            names, boxes = gt[token]["gt_names"], gt[token]["gt_boxes"]
+            gt[token]["gt_attributes"] = np.array(
+                [
+                    wrong[n]
+                    if wrong[n] != _attr_for(n, b[6:8])
+                    else "pedestrian.sitting_down"
+                    for n, b in zip(names, boxes)
+                ]
+            )
+        m = nuscenes_eval.evaluate_protocol(gt, dets, ["car", "pedestrian"])
+        assert m["tp_errors"]["attr_err"] == pytest.approx(1.0, abs=1e-9)
+
+        # absent: falls back to the 1.0 worst-case prior (pre-round-2 infos)
+        for token in gt:
+            del gt[token]["gt_attributes"]
+        m = nuscenes_eval.evaluate_protocol(gt, dets, ["car", "pedestrian"])
+        assert m["tp_errors"]["attr_err"] == 1.0
+
+    def test_eval_gather_count_mismatch_raises(self, tmp_path):
+        make_mini_nuscenes(tmp_path / "n9", n_samples=3)
+        ds = make_dataset(tmp_path / "n9", use_gt_sampling=False)
+        info = ds.infos[0]
+        dets = {
+            info["token"]: {
+                "box3d_lidar": np.asarray(info["gt_boxes"], np.float32),
+                "scores": np.ones(len(info["gt_boxes"])),
+                "label_preds": np.zeros(len(info["gt_boxes"]), np.int64),
+            }
+        }
+        with pytest.raises(AssertionError, match="eval gather"):
+            ds.evaluation(dets, tmp_path / "out9")
 
     def test_shifted_predictions_score_lower(self):
         gt, dets = self._gt_and_perfect_dets()
