@@ -205,12 +205,16 @@ def _attach_gt(nusc, sample, info):
     pose = nusc.get("ego_pose", sd["ego_pose_token"])
     cs = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
 
-    rows, names = [], []
+    rows, names, attrs = [], [], []
     ref_rot = info["ref_from_car"][:3, :3] @ info["car_from_global"][:3, :3]
     for box, ann_token in zip(boxes, sample["anns"]):
         ann = nusc.get("sample_annotation", ann_token)
         if ann["num_lidar_pts"] <= 0:
             continue
+        # attribute name (at most one per annotation in nuScenes; '' = void)
+        # — carried so the self-contained scorer can compute real AttrErr
+        atoks = ann.get("attribute_tokens", [])
+        attrs.append(nusc.get("attribute", atoks[0])["name"] if atoks else "")
         # transform devkit Box global -> lidar frame
         box.translate(-np.asarray(pose["translation"]))
         box.rotate(_quat_inv(pose["rotation"]))
@@ -228,6 +232,7 @@ def _attach_gt(nusc, sample, info):
 
     info["gt_boxes"] = np.asarray(rows, np.float64).reshape(-1, 9)
     info["gt_names"] = np.asarray(names)
+    info["gt_attributes"] = np.asarray(attrs)
 
 
 def _quat_inv(q):

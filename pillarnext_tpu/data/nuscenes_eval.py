@@ -177,17 +177,30 @@ def _yaw_diff(a: float, b: float, period: float) -> float:
     return abs(d)
 
 
-def _match_class(dets: list, gts_by_token: dict, dist_th: float, with_tp: bool):
+def _match_class(
+    dets: list,
+    gts_by_token: dict,
+    dist_th: float,
+    with_tp: bool,
+    gt_attrs_by_token: dict | None = None,
+    det_attr_name: str | None = None,
+):
     """Greedy score-ordered center-distance matching for one class.
 
     ``dets``: list of (score, token, box9); ``gts_by_token``: token ->
     (M, 9) array.  Returns tp flags + optional per-TP error records.
+
+    Attribute error: predicted attribute comes from the velocity rules (the
+    same rules the submission writer applies, nusc.py:152-171); GT attribute
+    from infos' ``gt_attributes`` when carried.  TPs whose GT attribute is
+    void ('') are excluded from AttrErr, as in the official protocol.
     """
     n_gt = sum(len(g) for g in gts_by_token.values())
     taken: dict = {t: np.zeros(len(g), bool) for t, g in gts_by_token.items()}
     dets = sorted(dets, key=lambda d: -d[0])
     tp_flags = np.zeros(len(dets), bool)
-    errors = []  # (det_idx, trans_err, scale_err, orient_err, vel_err)
+    # (det_idx, trans, scale, yaw_det, yaw_gt, vel, attr_match or None)
+    errors = []
 
     for di, (score, token, box) in enumerate(dets):
         gts = gts_by_token.get(token)
@@ -211,7 +224,13 @@ def _match_class(dets: list, gts_by_token: dict, dist_th: float, with_tp: bool):
             union = np.prod(box[3:6]) + np.prod(gt[3:6]) - inter
             scale = 1.0 - inter / max(union, 1e-9)
             vel = float(np.linalg.norm(box[6:8] - gt[6:8]))
-            errors.append((di, trans, scale, box[8], gt[8], vel))
+            attr_match = None
+            if gt_attrs_by_token is not None and det_attr_name is not None:
+                gt_attr = gt_attrs_by_token.get(token)
+                gt_attr = gt_attr[j] if gt_attr is not None else ""
+                if gt_attr:
+                    attr_match = _attr_for(det_attr_name, box[6:8]) == gt_attr
+            errors.append((di, trans, scale, box[8], gt[8], vel, attr_match))
     return n_gt, tp_flags, errors
 
 
@@ -235,16 +254,27 @@ def evaluate_protocol(
             scores = np.asarray(det["scores"])[sel]
             for s, b in zip(scores, boxes):
                 cls_dets.append((float(s), token, b))
+        has_attrs = bool(gt_by_token) and all(
+            "gt_attributes" in gt for gt in gt_by_token.values()
+        )
         cls_gts = {}
+        cls_gt_attrs: dict | None = {} if has_attrs else None
         for token, gt in gt_by_token.items():
             sel = np.asarray(gt["gt_names"]) == name
             cls_gts[token] = np.asarray(gt["gt_boxes"], np.float64)[sel]
+            if has_attrs:
+                cls_gt_attrs[token] = np.asarray(gt["gt_attributes"])[sel]
 
         aps = {}
         tp_metrics = None
         for dist_th in DIST_THRESHOLDS:
             n_gt, tp_flags, errors = _match_class(
-                cls_dets, cls_gts, dist_th, with_tp=(dist_th == TP_THRESHOLD)
+                cls_dets,
+                cls_gts,
+                dist_th,
+                with_tp=(dist_th == TP_THRESHOLD),
+                gt_attrs_by_token=cls_gt_attrs,
+                det_attr_name=name,
             )
             ap, tp_cum = _average_precision(tp_flags, n_gt)
             aps[str(dist_th)] = ap
@@ -293,14 +323,16 @@ def _tp_errors(name, errors, tp_flags, n_gt, detections, cls_gts):
     # restrict to TPs at/after the MIN_RECALL point
     min_tp = max(int(np.ceil(MIN_RECALL * n_gt)), 1)
     tp_cum = np.cumsum(tp_flags)
-    trans, scale, orient, vel = [], [], [], []
-    for di, t, s, yaw_d, yaw_g, v in errors:
+    trans, scale, orient, vel, attr = [], [], [], [], []
+    for di, t, s, yaw_d, yaw_g, v, am in errors:
         if tp_cum[di] < min_tp:
             continue
         trans.append(t)
         scale.append(s)
         orient.append(_yaw_diff(yaw_d, yaw_g, period))
         vel.append(v)
+        if am is not None:
+            attr.append(am)
     if not trans:
         return out
     out["trans_err"] = float(np.mean(trans))
@@ -309,10 +341,11 @@ def _tp_errors(name, errors, tp_flags, n_gt, detections, cls_gts):
         out["orient_err"] = float(np.mean(orient))
     if name not in NO_VELOCITY:
         out["vel_err"] = float(np.mean(vel))
-    if name not in NO_ATTRIBUTE:
-        # attributes are not carried on lidar-frame GT infos; attribute error
-        # is scored only by the official devkit path
-        out["attr_err"] = 1.0
+    if name not in NO_ATTRIBUTE and attr:
+        # AttrErr = 1 - attribute classification accuracy over TPs with a
+        # non-void GT attribute (official protocol); stays at the 1.0
+        # worst-case prior when infos carry no attributes
+        out["attr_err"] = 1.0 - float(np.mean(attr))
     return out
 
 
@@ -325,6 +358,16 @@ def evaluate(dataset, detections: dict, output_dir=None, class_names=None) -> di
     output_dir = Path(output_dir or "results")
     output_dir.mkdir(parents=True, exist_ok=True)
     infos_by_token = {info["token"]: info for info in dataset.infos}
+
+    # sanity: one detection dict per val sample (the reference hard-asserts
+    # the 6019-sample nuScenes val count, nusc.py:133 — the generic form
+    # catches dropped samples in the distributed eval gather)
+    if len(detections) != len(infos_by_token):
+        raise AssertionError(
+            f"got {len(detections)} detection entries for "
+            f"{len(infos_by_token)} dataset samples — eval gather dropped or "
+            "duplicated samples"
+        )
 
     submission = detections_to_submission(infos_by_token, detections, class_names)
     res_path = output_dir / "results_nusc.json"
@@ -350,6 +393,8 @@ def evaluate(dataset, detections: dict, output_dir=None, class_names=None) -> di
             "gt_boxes": np.asarray(info["gt_boxes"]),
             "gt_names": np.asarray(info["gt_names"]),
         }
+        if "gt_attributes" in info:
+            gt_by_token[token]["gt_attributes"] = np.asarray(info["gt_attributes"])
     metrics = evaluate_protocol(gt_by_token, detections, class_names)
 
     with open(output_dir / "metrics_summary.json", "w") as f:
@@ -362,7 +407,7 @@ def evaluate(dataset, detections: dict, output_dir=None, class_names=None) -> di
             f"{name}: " + ", ".join(f"AP@{k}m {v * 100:.2f}" for k, v in aps.items())
         )
     return {"nusc": "\n".join(lines), "mean_ap": metrics["mean_ap"],
-            "nd_score": metrics["nd_score"]}
+            "nd_score": metrics["nd_score"], "tp_errors": metrics["tp_errors"]}
 
 
 def _evaluate_devkit(dataset, res_path, output_dir, class_names):
