@@ -33,7 +33,7 @@ from flax import linen as nn
 
 from pillarnext_tpu.models.layers import MaskedBatchNorm
 from pillarnext_tpu.ops import scatter
-from pillarnext_tpu.ops.compact import compactify
+from pillarnext_tpu.ops.compact import compactify, invert_slot_map
 from pillarnext_tpu.ops.sparse_bev import SparseBEV
 from pillarnext_tpu.ops.voxelize import VoxelGrid, pillar_coords, pillar_segment_ids
 
@@ -144,13 +144,7 @@ class PillarFeatureNet(nn.Module):
         # write to distinct shadow rows so XLA takes the parallel scatter
         # path instead of serializing duplicates).
         table = feats.at[-1].set(0.0)
-        occupied = slot_id < b * hw
-        shadow = b * hw + jnp.arange(cap, dtype=jnp.int32)
-        target = jnp.where(occupied, slot_id, shadow)
-        slot_of_dense = jnp.full((b * hw + cap,), cap, jnp.int32)
-        slot_of_dense = slot_of_dense.at[target].set(
-            jnp.arange(cap, dtype=jnp.int32), unique_indices=True
-        )[: b * hw]
+        slot_of_dense, occupied = invert_slot_map(slot_id, b * hw, cap)
 
         sbev = SparseBEV(
             table=table,

@@ -29,20 +29,29 @@ from pillarnext_tpu.models.layers import (
     MaskedBatchNorm,
     ResidualBlock,
 )
+import numpy as np
+
 from pillarnext_tpu.ops.sparse_bev import SparseBEV
+from pillarnext_tpu.ops.sparse_down import (
+    build_down_neighbor_tables,
+    downsample_active_set,
+    sparse_strided_conv,
+)
 from pillarnext_tpu.ops.subm_conv import (
     build_neighbor_table,
     subm_conv,
     subm_offsets_2d,
+    subm_offsets_3d,
 )
 
 
 class _SubMConv(nn.Module):
-    """SubM conv parameter holder; kernel stored HWIO exactly like nn.Conv so
-    dense/sparse checkpoints are interchangeable."""
+    """SubM conv parameter holder; kernel stored HWIO (/DHWIO) exactly like
+    nn.Conv so dense/sparse checkpoints are interchangeable."""
 
     features: int
     kernel_size: int = 3
+    ndim: int = 2
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -51,13 +60,37 @@ class _SubMConv(nn.Module):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (k, k, cin, self.features),
+            (*(k,) * self.ndim, cin, self.features),
         )
         table = jnp.concatenate([x, jnp.zeros((1, cin), x.dtype)], axis=0)
-        kern = kernel.reshape(k * k, cin, self.features)
+        kern = kernel.reshape(k**self.ndim, cin, self.features)
         if self.dtype is not None:
             kern = kern.astype(self.dtype)
         return subm_conv(table, nbr, kern)
+
+
+class _SparseDownConv(nn.Module):
+    """Strided sparse conv parameter holder (spconv SparseConv2d/3d); kernel
+    stored like nn.Conv (``(*kernel_shape, Cin, Cout)``)."""
+
+    features: int
+    kernel_shape: tuple
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, nbr_fwd, nbr_rev):
+        cin = x.shape[-1]
+        k = int(np.prod(self.kernel_shape))
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_shape, cin, self.features),
+        )
+        table = jnp.concatenate([x, jnp.zeros((1, cin), x.dtype)], axis=0)
+        kern = kernel.reshape(k, cin, self.features)
+        if self.dtype is not None:
+            kern = kern.astype(self.dtype)
+        return sparse_strided_conv(table, nbr_fwd, nbr_rev, kern)
 
 
 class SparseConvBlock(nn.Module):
@@ -68,12 +101,15 @@ class SparseConvBlock(nn.Module):
 
     features: int
     kernel_size: int = 3
+    ndim: int = 2
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, valid, nbr, train: bool = False):
-        x = _SubMConv(self.features, self.kernel_size, self.dtype, name="Conv_0")(x, nbr)
+        x = _SubMConv(
+            self.features, self.kernel_size, self.ndim, self.dtype, name="Conv_0"
+        )(x, nbr)
         x = MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="BatchNorm_0")(
             x, valid, train
         )
@@ -86,6 +122,7 @@ class SparseResidualBlock(nn.Module):
 
     features: int
     kernel_size: int = 3
+    ndim: int = 2
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -93,10 +130,12 @@ class SparseResidualBlock(nn.Module):
     def __call__(self, x, valid, nbr, train: bool = False):
         identity = x
         x = SparseConvBlock(
-            self.features, self.kernel_size, self.axis_name, self.dtype,
+            self.features, self.kernel_size, self.ndim, self.axis_name, self.dtype,
             name="ConvBlock_0",
         )(x, valid, nbr, train)
-        x = _SubMConv(self.features, self.kernel_size, self.dtype, name="Conv_0")(x, nbr)
+        x = _SubMConv(
+            self.features, self.kernel_size, self.ndim, self.dtype, name="Conv_0"
+        )(x, nbr)
         x = MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="BatchNorm_0")(
             x, valid, train
         )
@@ -116,12 +155,13 @@ class _SparseStage(nn.Module):
     @nn.compact
     def __call__(self, x, valid, nbr, train: bool = False):
         x = SparseConvBlock(
-            self.features, self.kernel_size, self.axis_name, self.dtype, name="down"
+            self.features, self.kernel_size,
+            axis_name=self.axis_name, dtype=self.dtype, name="down",
         )(x, valid, nbr, train)
         for j in range(self.num_blocks):
             x = SparseResidualBlock(
-                self.features, self.kernel_size, self.axis_name, self.dtype,
-                name=f"block_{j}",
+                self.features, self.kernel_size,
+                axis_name=self.axis_name, dtype=self.dtype, name=f"block_{j}",
             )(x, valid, nbr, train)
         return x
 
@@ -310,6 +350,8 @@ class SparseResNet3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if isinstance(x, SparseBEV):
+            return self._sparse_forward(x, train)
         for i, num_blocks in enumerate(self.layer_nums):
             k, s = self.kernel_size[i], self.ds_layer_strides[i]
             p = k // 2
@@ -341,12 +383,15 @@ class SparseResNet3D(nn.Module):
                     dtype=self.dtype,
                 )(x)
                 x = nn.relu(x + identity)
-        # extra z-downsample: kernel (3,1,1) stride (2,1,1) over (D, H, W)
+        # extra z-downsample: kernel (3,1,1) stride (2,1,1), padding 0 — the
+        # reference SparseConv3d default (sparse_resnet3d.py:43-46); padding
+        # 1 here would grow D (e.g. voxel18: 5 -> 3 instead of 2) and break
+        # the folded channel count fed to the neck
         x = nn.Conv(
             self.ds_num_filters[-1],
             (3, 1, 1),
             strides=(2, 1, 1),
-            padding=((1, 1), (0, 0), (0, 0)),
+            padding=((0, 0), (0, 0), (0, 0)),
             use_bias=False,
             dtype=self.dtype,
         )(x)
@@ -358,3 +403,100 @@ class SparseResNet3D(nn.Module):
         # fold depth into channels: (B, D, H, W, C) -> (B, H, W, D*C)
         b, d, h, w, c = x.shape
         return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, d * c)
+
+    def _sparse_forward(self, sb: SparseBEV, train: bool):
+        """Fully sparse path (gather+MXU): SubM stride-1 stages, strided
+        SparseConv downsamples with active-set dilation, extra z-downsample
+        (padding 0), SubM 1x1 mapping — all over compact tables; densified
+        only at the final (D_f, H/8, W/8) grid for the depth fold.
+
+        The dense 3-D path above cannot run the configured voxel18 grid
+        (the (B, 40, 1344, 1344, C) volume alone exceeds HBM); this path is
+        O(active sites) in both FLOPs and memory, for train AND eval.
+        """
+        batch = sb.batch
+        spatial = sb.spatial
+        table = sb.table[:-1]
+        valid, sod, slot_id = sb.valid, sb.slot_of_dense, sb.slot_id
+        cap = sb.capacity
+
+        for i, num_blocks in enumerate(self.layer_nums):
+            k, s = self.kernel_size[i], self.ds_layer_strides[i]
+            f = self.ds_num_filters[i]
+            if s > 1:
+                # capacity stays constant through downsamples: a strided
+                # SparseConv DILATES the active set (up to the k^3 window)
+                # before 8-to-1 cell merging, so the count does not shrink
+                # monotonically; shrinking capacity here truncates sites
+                out_slot_id, out_sod, out_valid, out_sp = downsample_active_set(
+                    slot_id, batch, spatial, (k,) * 3, (s,) * 3, cap
+                )
+                nbr_fwd, nbr_rev = build_down_neighbor_tables(
+                    sod, out_slot_id, out_sod, slot_id, batch, spatial,
+                    (k,) * 3, (s,) * 3,
+                )
+                x = _SparseDownConv(f, (k,) * 3, self.dtype, name=f"stage_{i}_down")(
+                    table, nbr_fwd, nbr_rev
+                )
+                x = MaskedBatchNorm(
+                    axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"stage_{i}_down_bn",
+                )(x, out_valid, train)
+                table = jnp.where(out_valid[:, None], nn.relu(x), 0.0)
+                valid, sod, slot_id, spatial = out_valid, out_sod, out_slot_id, out_sp
+            else:
+                nbr0 = build_neighbor_table(
+                    sod, slot_id, spatial, subm_offsets_3d(k), cap
+                )
+                table = SparseConvBlock(
+                    f, k, ndim=3, axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"stage_{i}_down",
+                )(table, valid, nbr0, train)
+            if num_blocks:
+                nbr = build_neighbor_table(
+                    sod, slot_id, spatial, subm_offsets_3d(k), cap
+                )
+                for j in range(num_blocks):
+                    table = SparseResidualBlock(
+                        f, k, ndim=3, axis_name=self.axis_name, dtype=self.dtype,
+                        name=f"stage_{i}_block_{j}",
+                    )(table, valid, nbr, train)
+
+        # extra z-downsample (3,1,1)/(2,1,1), padding 0 (sparse_resnet3d.py:43-46)
+        out_slot_id, out_sod, out_valid, out_sp = downsample_active_set(
+            slot_id, batch, spatial, (3, 1, 1), (2, 1, 1), cap, (0, 0, 0)
+        )
+        nbr_fwd, nbr_rev = build_down_neighbor_tables(
+            sod, out_slot_id, out_sod, slot_id, batch, spatial,
+            (3, 1, 1), (2, 1, 1), (0, 0, 0),
+        )
+        x = _SparseDownConv(
+            self.ds_num_filters[-1], (3, 1, 1), self.dtype, name="extra_conv"
+        )(table, nbr_fwd, nbr_rev)
+        x = MaskedBatchNorm(
+            axis_name=self.axis_name, dtype=self.dtype, name="extra_conv_bn"
+        )(x, out_valid, train)
+        table = jnp.where(out_valid[:, None], nn.relu(x), 0.0)
+        valid, sod, slot_id, spatial = out_valid, out_sod, out_slot_id, out_sp
+
+        # SubM 1x1x1 mapping to out_channels (sparse_resnet3d.py:42-43)
+        x = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
+                     name="mapping")(table)
+        x = MaskedBatchNorm(
+            axis_name=self.axis_name, dtype=self.dtype, name="mapping_bn"
+        )(x, valid, train)
+        table = jnp.where(valid[:, None], nn.relu(x), 0.0)
+
+        # densify at the final grid, fold depth into channels
+        out = SparseBEV(
+            table=jnp.concatenate(
+                [table, jnp.zeros((1, table.shape[-1]), table.dtype)], axis=0
+            ),
+            valid=valid,
+            slot_of_dense=sod,
+            slot_id=slot_id,
+            batch=batch,
+            spatial=tuple(spatial),
+        ).to_dense()
+        b, d, h, w, c = out.shape
+        return jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b, h, w, d * c)

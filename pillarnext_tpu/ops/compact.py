@@ -56,3 +56,26 @@ def compactify(
     slot_id = jnp.full((capacity + 1,), invalid_id, jnp.int32)
     slot_id = slot_id.at[rank].set(sorted_ids, mode="drop")
     return order, rank, slot_id[:capacity]
+
+
+def invert_slot_map(
+    slot_id: jnp.ndarray, dense_rows: int, capacity: int | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """dense-position -> slot map from a slot -> dense-position map.
+
+    Unused slots write to distinct shadow rows past the dense range so the
+    scatter has unique indices (XLA's parallel path — duplicate indices
+    serialize).
+
+    Returns (slot_of_dense (dense_rows,) int32 with ``capacity`` for empty
+    cells, valid (capacity,) bool).
+    """
+    cap = capacity if capacity is not None else slot_id.shape[0]
+    occupied = slot_id < dense_rows
+    shadow = dense_rows + jnp.arange(cap, dtype=jnp.int32)
+    target = jnp.where(occupied, slot_id, shadow)
+    slot_of_dense = jnp.full((dense_rows + cap,), cap, jnp.int32)
+    slot_of_dense = slot_of_dense.at[target].set(
+        jnp.arange(cap, dtype=jnp.int32), unique_indices=True
+    )[:dense_rows]
+    return slot_of_dense, occupied

@@ -1,0 +1,232 @@
+"""Sparse strided convolution — gather + MXU, active-set dilating.
+
+The TPU-native equivalent of spconv's ``SparseConv2d/3d`` with stride > 1
+(reference det3d/models/utils/sparse_conv.py:16-39, 66-81: the downsample
+convs of SparseResNet / SparseResNet3D).  Semantics: an OUTPUT site is
+active iff its receptive window covers at least one active input site; its
+value is the windowed sum over input features (inactive inputs contribute
+zero).  On the nuScenes voxel18 grid (~150k active of 72M cells) this is
+3-4 orders of magnitude fewer FLOPs than a dense 3-D conv — the dense
+volume does not even fit HBM at config resolution.
+
+Pipeline per downsample (all static shapes, one XLA program):
+
+  1. ``downsample_active_set``: enumerate each active input site's candidate
+     parent outputs (<= ceil(k/s) per dim), compactify to the fixed-capacity
+     output table (ops/compact.py), invert to a dense->slot map.
+  2. ``build_down_neighbor_tables``: per output slot the K strided-tap input
+     slots (forward), and per input slot the K output slots it feeds
+     (reverse, for the custom VJP — autodiff would emit serializing
+     scatter-adds).
+  3. ``sparse_strided_conv``: K*Cin gather + one MXU matmul; backward is a
+     reverse gather + matmul (dx) and x^T @ g (dW).
+
+Convention: kernel tap t (multi-index over kernel_shape, pad p = k//2,
+stride s) reads input coord  ic = s*oc + t - p  of output coord oc.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _row_major_strides(sizes: np.ndarray) -> np.ndarray:
+    return np.concatenate([np.cumprod(sizes[::-1])[::-1][1:], [1]]).astype(np.int64)
+
+
+def _decode(ids: jnp.ndarray, batch: int, spatial: tuple[int, ...]):
+    """Dense ids over (B, *spatial) -> (in_range, [b, c0, c1, ...])."""
+    sizes = np.asarray(spatial, np.int64)
+    cell = int(np.prod(sizes))
+    rows = batch * cell
+    ok = (ids >= 0) & (ids < rows)
+    safe = jnp.where(ok, ids, 0)
+    coords = [safe // cell]
+    rem = safe % cell
+    strides = _row_major_strides(sizes)
+    for i in range(len(spatial)):
+        coords.append(rem // int(strides[i]))
+        rem = rem % int(strides[i])
+    return ok, coords
+
+
+def _encode(coords, ok, batch: int, spatial: tuple[int, ...], invalid: int):
+    sizes = np.asarray(spatial, np.int64)
+    strides = _row_major_strides(sizes)
+    cell = int(np.prod(sizes))
+    out = coords[0] * cell
+    for i in range(len(spatial)):
+        ci = coords[i + 1]
+        ok = ok & (ci >= 0) & (ci < int(sizes[i]))
+        out = out + ci * int(strides[i])
+    return jnp.where(ok, out, invalid)
+
+
+def out_spatial_for(spatial, kernel_shape, stride, padding=None):
+    """spconv output size: floor((n + 2p - k) / s) + 1.  ``padding`` per dim
+    defaults to k//2 (the stage blocks); the reference's extra z-downsample
+    uses padding 0 (SparseConv3d((3,1,1),(2,1,1)) default,
+    sparse_resnet3d.py:43-46)."""
+    if padding is None:
+        padding = tuple(k // 2 for k in kernel_shape)
+    return tuple(
+        (n + 2 * p - k) // s + 1
+        for n, k, s, p in zip(spatial, kernel_shape, stride, padding)
+    )
+
+
+def downsample_active_set(
+    slot_id: jnp.ndarray,
+    batch: int,
+    in_spatial: tuple[int, ...],
+    kernel_shape: tuple[int, ...],
+    stride: tuple[int, ...],
+    cap_out: int,
+    padding: tuple[int, ...] | None = None,
+):
+    """Active OUTPUT set of a strided sparse conv.
+
+    Returns (out_slot_id (cap_out,), out_slot_of_dense (B*prod(out_sp),),
+    out_valid (cap_out,), out_spatial).
+    """
+    from pillarnext_tpu.ops.compact import compactify, invert_slot_map
+
+    if padding is None:
+        padding = tuple(k // 2 for k in kernel_shape)
+    out_sp = out_spatial_for(in_spatial, kernel_shape, stride, padding)
+    out_rows = batch * int(np.prod(out_sp))
+    ok_in, coords = _decode(slot_id, batch, in_spatial)
+
+    # candidate parent outputs per dim: o in [ceil((c+p-k+1)/s), floor((c+p)/s)]
+    cand_counts = [-(-k // s) for k, s in zip(kernel_shape, stride)]
+    cand_ids = []
+    for combo in itertools.product(*[range(n) for n in cand_counts]):
+        ok = ok_in
+        oc = [coords[0]]
+        for i, (k, s) in enumerate(zip(kernel_shape, stride)):
+            p = padding[i]
+            top = (coords[i + 1] + p) // s
+            o = top - combo[i]
+            # window check: 0 <= c - (s*o - p) <= k-1
+            ok = ok & (coords[i + 1] - (o * s - p) >= 0) & (
+                coords[i + 1] - (o * s - p) <= k - 1
+            )
+            oc.append(o)
+        cand_ids.append(_encode(oc, ok, batch, out_sp, out_rows))
+    ids = jnp.concatenate(cand_ids).astype(jnp.int32)
+
+    _, _, out_slot_id = compactify(ids, out_rows, cap_out)
+    out_sod, out_valid = invert_slot_map(out_slot_id, out_rows, cap_out)
+    return out_slot_id, out_sod, out_valid, out_sp
+
+
+def build_down_neighbor_tables(
+    in_slot_of_dense: jnp.ndarray,
+    out_slot_id: jnp.ndarray,
+    out_slot_of_dense: jnp.ndarray,
+    in_slot_id: jnp.ndarray,
+    batch: int,
+    in_spatial: tuple[int, ...],
+    kernel_shape: tuple[int, ...],
+    stride: tuple[int, ...],
+    padding: tuple[int, ...] | None = None,
+):
+    """(nbr_fwd (cap_out, K) -> input slots, nbr_rev (cap_in, K) -> output
+    slots); K = prod(kernel_shape).  Inactive entries hold the respective
+    dump index (cap_in / cap_out)."""
+    if padding is None:
+        padding = tuple(k // 2 for k in kernel_shape)
+    out_sp = out_spatial_for(in_spatial, kernel_shape, stride, padding)
+    cap_in = in_slot_id.shape[0]
+    cap_out = out_slot_id.shape[0]
+    in_rows = in_slot_of_dense.shape[0]
+    out_rows = out_slot_of_dense.shape[0]
+
+    taps = list(itertools.product(*[range(k) for k in kernel_shape]))
+
+    # forward: out slot -> K input slots
+    ok_o, oc = _decode(out_slot_id, batch, out_sp)
+    fwd = []
+    for t in taps:
+        ic = [oc[0]]
+        for i, (k, s) in enumerate(zip(kernel_shape, stride)):
+            p = padding[i]
+            ic.append(oc[i + 1] * s + t[i] - p)
+        did = _encode(ic, ok_o, batch, in_spatial, in_rows)
+        safe = jnp.where(did < in_rows, did, 0)
+        fwd.append(jnp.where(did < in_rows, in_slot_of_dense[safe], cap_in))
+    nbr_fwd = jnp.stack(fwd, axis=-1)
+
+    # reverse: in slot -> K output slots (tap t feeds o iff (c+p-t) % s == 0)
+    ok_i, c = _decode(in_slot_id, batch, in_spatial)
+    rev = []
+    for t in taps:
+        oc2 = [c[0]]
+        ok = ok_i
+        for i, (k, s) in enumerate(zip(kernel_shape, stride)):
+            p = padding[i]
+            num = c[i + 1] + p - t[i]
+            ok = ok & (num % s == 0) & (num >= 0)
+            oc2.append(num // s)
+        did = _encode(oc2, ok, batch, out_sp, out_rows)
+        safe = jnp.where(did < out_rows, did, 0)
+        rev.append(jnp.where(did < out_rows, out_slot_of_dense[safe], cap_out))
+    nbr_rev = jnp.stack(rev, axis=-1)
+    return nbr_fwd, nbr_rev
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def sparse_strided_conv(table, nbr_fwd, nbr_rev, kernel, precision=None):
+    """Strided sparse conv over compact tables.
+
+    Args:
+        table: (cap_in + 1, Cin); row cap_in is the all-zero dump row.
+        nbr_fwd: (cap_out, K) int32 input-slot per tap (cap_in = inactive).
+        nbr_rev: (cap_in, K) int32 output-slot per tap (cap_out = none).
+        kernel: (K, Cin, Cout).
+
+    Returns:
+        (cap_out, Cout).
+    """
+    return _fwd_impl(table, nbr_fwd, kernel, precision)
+
+
+def _fwd_impl(table, nbr_fwd, kernel, precision):
+    cap_out, k = nbr_fwd.shape
+    cin = table.shape[-1]
+    x = table[nbr_fwd.reshape(-1)].reshape(cap_out, k * cin)
+    return jax.lax.dot(
+        x, kernel.reshape(k * cin, -1).astype(table.dtype), precision=precision
+    )
+
+
+def _fwd(table, nbr_fwd, nbr_rev, kernel, precision):
+    return _fwd_impl(table, nbr_fwd, kernel, precision), (table, nbr_fwd, nbr_rev, kernel)
+
+
+def _bwd(precision, res, g):
+    table, nbr_fwd, nbr_rev, kernel = res
+    cap_out, k = nbr_fwd.shape
+    cin = table.shape[-1]
+    cout = kernel.shape[-1]
+
+    x = table[nbr_fwd.reshape(-1)].reshape(cap_out, k * cin)
+    dk = jax.lax.dot(
+        x.T.astype(jnp.float32), g.astype(jnp.float32), precision=precision
+    ).reshape(k, cin, cout)
+
+    # dx[i] = sum_t g[rev(i, t)] @ W[t]^T  (one gather + one matmul)
+    g_pad = jnp.concatenate([g, jnp.zeros((1, cout), g.dtype)], axis=0)
+    gr = g_pad[nbr_rev.reshape(-1)].reshape(nbr_rev.shape[0], k * cout)
+    w_t = kernel.transpose(0, 2, 1).reshape(k * cout, cin)  # (K*Cout, Cin)
+    dx_active = jax.lax.dot(gr, w_t.astype(gr.dtype), precision=precision)
+    dx = jnp.concatenate([dx_active, jnp.zeros((1, cin), dx_active.dtype)], axis=0)
+    return dx.astype(table.dtype), None, None, dk.astype(kernel.dtype)
+
+
+sparse_strided_conv.defvjp(_fwd, _bwd)

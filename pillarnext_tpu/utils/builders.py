@@ -44,6 +44,15 @@ def build_model(model_cfg: dict):
         and list(bb.get("ds_layer_strides", [0]))[0] == 1
     ):
         rd.setdefault("output", "sparse")
+    # the 3-D backbone always consumes the compact voxel table — the dense
+    # voxel18 volume does not fit HBM at config resolution (voxel_encoder.py)
+    if (
+        isinstance(rd, dict)
+        and str(rd.get("_target_", "")).split(".")[-1] == "VoxelFeatureNet"
+        and isinstance(bb, dict)
+        and str(bb.get("_target_", "")).split(".")[-1] == "SparseResNet3D"
+    ):
+        rd.setdefault("output", "sparse")
     return instantiate(cfg)
 
 

@@ -72,7 +72,7 @@ class TestMVF:
 class TestVoxelReader:
     def test_voxel_mean_and_3d_backbone(self):
         reader = VoxelFeatureNet(
-            voxel_size=[0.4, 0.4, 1.0], pc_range=[-3.2, -3.2, -2.0, 3.2, 3.2, 2.0]
+            voxel_size=[0.4, 0.4, 0.5], pc_range=[-3.2, -3.2, -2.0, 3.2, 3.2, 2.0]
         )
         backbone = SparseResNet3D(
             layer_nums=(1, 1),
@@ -89,7 +89,7 @@ class TestVoxelReader:
         pts[..., 3] = 1.0
         mask = np.ones((1, 64), bool)
         vol = reader(jnp.asarray(pts), jnp.asarray(mask))
-        assert vol.shape == (1, 4, 16, 16, 5)  # (B, D, H, W, C)
+        assert vol.shape == (1, 8, 16, 16, 5)  # (B, D, H, W, C)
         # mean of intensity channel inside occupied voxels is 1
         v = np.asarray(vol)
         occupied = v[..., 3] > 0
@@ -97,9 +97,9 @@ class TestVoxelReader:
 
         variables = backbone.init(jax.random.PRNGKey(0), vol)
         out = backbone.apply(variables, vol)
-        # H/2, W/2, channels folded: D goes 4 -> 2 (stage stride) -> 1 (extra z)
-        assert out.shape[0] == 1 and out.shape[1] == 8 and out.shape[2] == 8
-        assert out.shape[3] == out.shape[3]  # C*D folded
+        # D: 8 -> 4 (stage stride) -> 1 (extra z conv, k=3 s=2 PAD 0 like the
+        # reference SparseConv3d); BEV channels = out_channels * D_final
+        assert out.shape == (1, 8, 8, 16 * 1)
 
 
 class TestExperimentConfigs:
@@ -111,6 +111,7 @@ class TestExperimentConfigs:
             "waymo_det_pp18_aspp_iou_car_sp",
             "waymo_det_pp18_aspp_iou_car_sp_f1",
             "waymo_det_mvf18_aspp_iou_car",
+            "waymo_det_voxel18_aspp_iou_car",
         ],
     )
     def test_compose_and_build(self, name):

@@ -40,8 +40,8 @@ class TestOverlapGolden:
         a = jnp.array([[0, 0, 0, 1, 1, 1, 0.0]], jnp.float32)
         b = jnp.array([[0, 0, 0, 1, 1, 1, np.pi / 4]], jnp.float32)
         area = float(jax_box_ops.boxes_overlap_bev(a, b)[0, 0])
-        assert area == pytest.approx(8 * (np.sqrt(2) - 1) / 4**0 * (np.sqrt(2) - 1) * 4, rel=1e-4) or True
-        # closed form: 4*(sqrt(2)-1)*... use direct value
+        # regular octagon: area = 2*(sqrt(2)-1) for the unit square pair
+        assert area == pytest.approx(2 * (np.sqrt(2) - 1), rel=1e-4)
         assert area == pytest.approx(0.82842712, rel=1e-4)
 
     def test_identity_diagonal_random_yaws(self):
