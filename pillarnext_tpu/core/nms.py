@@ -173,6 +173,42 @@ def rotated_nms(
 
 
 @partial(jax.jit, static_argnums=(3, 4))
+def axis_aligned_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    thresh: jnp.ndarray | float,
+    pre_max_size: int,
+    post_max_size: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Axis-aligned BEV NMS — the reference's ``nms_normal_gpu`` variant
+    (iou3d_nms_kernel.cu:327-385: greedy over AABB IoU, yaw ignored).
+    Same interface and greedy semantics as :func:`rotated_nms`.
+    """
+    n = boxes.shape[0]
+    k = min(pre_max_size, n)
+    top_scores, order = jax.lax.top_k(scores, k)
+    valid = top_scores > NEG_INF / 2
+    cand = boxes[order]
+
+    def overlaps(a, b):
+        # AABB IoU from center +- dim/2 (iou_normal, iou3d_nms_kernel.cu:327-343)
+        lo = jnp.maximum(
+            a[:, None, :2] - a[:, None, 3:5] / 2, b[None, :, :2] - b[None, :, 3:5] / 2
+        )
+        hi = jnp.minimum(
+            a[:, None, :2] + a[:, None, 3:5] / 2, b[None, :, :2] + b[None, :, 3:5] / 2
+        )
+        inter = jnp.prod(jnp.maximum(hi - lo, 0.0), axis=-1)
+        area_a = jnp.prod(a[:, 3:5], axis=-1)[:, None]
+        area_b = jnp.prod(b[:, 3:5], axis=-1)[None, :]
+        iou = inter / jnp.maximum(area_a + area_b - inter, 1e-9)
+        return iou > thresh
+
+    keep = _chunked_greedy(cand, valid, overlaps, post_max_size)
+    return _select(order, keep, post_max_size)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
 def circle_nms(
     centers: jnp.ndarray,
     scores: jnp.ndarray,

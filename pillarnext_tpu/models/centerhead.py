@@ -29,7 +29,12 @@ from flax import linen as nn
 
 from pillarnext_tpu.core import nms as nms_lib
 from pillarnext_tpu.models import losses
-from pillarnext_tpu.models.layers import ConvTransposeBlock, MLPHead
+from pillarnext_tpu.models.layers import (
+    BN_EPS_DENSE,
+    BN_MOMENTUM_DENSE,
+    ConvTransposeBlock,
+    MLPHead,
+)
 
 NEG_INF = nms_lib.NEG_INF
 
@@ -42,6 +47,14 @@ class SepHead(nn.Module):
     head_conv: int = 64
     init_bias: float = -2.19
     final_kernel: int = 3
+    # Exact fusion of the branches' FIRST convs: every branch reads the same
+    # deblock output, so the R per-branch [3x3 conv + BN + ReLU] stacks
+    # concatenate along output channels into ONE dense conv (64 -> R*64) +
+    # BN(R*64) + ReLU — identical math, and R*64 output lanes fill the MXU
+    # where 64-lane convs run half-empty.  Requires num_conv == 2 everywhere
+    # (the reference configuration).  Param layout: branch1/bn1/out_<name>
+    # (utils/torch_import.py concatenates per-branch reference tensors).
+    merge_branches: bool = False
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -51,6 +64,41 @@ class SepHead(nn.Module):
             x = ConvTransposeBlock(
                 self.head_conv, self.stride, axis_name=self.axis_name, dtype=self.dtype
             )(x, train)
+        if self.merge_branches and all(nc == 2 for _, nc in self.heads.values()):
+            names = list(self.heads.keys())
+            h = nn.Conv(
+                len(names) * self.head_conv,
+                (self.final_kernel, self.final_kernel),
+                padding="SAME",
+                use_bias=True,
+                dtype=self.dtype,
+                name="branch1",
+            )(x)
+            h = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM_DENSE,
+                epsilon=BN_EPS_DENSE,
+                axis_name=self.axis_name if train else None,
+                dtype=self.dtype,
+                name="bn1",
+            )(h)
+            h = nn.relu(h)
+            out = {}
+            for bi, name in enumerate(names):
+                channels = self.heads[name][0]
+                xb = h[..., bi * self.head_conv : (bi + 1) * self.head_conv]
+                out[name] = nn.Conv(
+                    channels,
+                    (self.final_kernel, self.final_kernel),
+                    padding="SAME",
+                    use_bias=True,
+                    bias_init=nn.initializers.constant(
+                        self.init_bias if name == "hm" else 0.0
+                    ),
+                    dtype=self.dtype,
+                    name=f"out_{name}",
+                )(xb)
+            return out
         out = {}
         for name, (channels, num_conv) in self.heads.items():
             out[name] = MLPHead(
@@ -169,6 +217,8 @@ class CenterHead(nn.Module):
     # SepHeads on the flagship) — the merged layout exists for import parity
     # and for backends where grouped convs lower well.
     merge_tasks: bool = False
+    # fuse each task's branch-first convs into one dense conv (see SepHead)
+    merge_branches: bool = False
     voxel_size: Sequence[float] | None = None
     pc_range: Sequence[float] | None = None
     out_size_factor: Sequence[int] | None = None
@@ -232,6 +282,7 @@ class CenterHead(nn.Module):
                     stride=int(stride),
                     head_conv=self.share_conv_channel,
                     init_bias=self.init_bias,
+                    merge_branches=self.merge_branches,
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     name=f"task_{task_id}",

@@ -228,6 +228,11 @@ class SparseResNet(nn.Module):
     kernel_size: Sequence[int] = (3, 3, 3, 3)
     out_channels: int = 256
     force_dense_train: bool = False  # debug/testing: masked-dense in train too
+    # eval: run the leading stride-1 (SubM) stages on the sparse gather+MXU
+    # path like training, densifying after — at 1344^2 the gather conv over
+    # ~4% active sites beats the masked-dense conv (whose (B,H,W,1)-broadcast
+    # mask multiply relayouts the activation around every conv)
+    sparse_eval: bool = False
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -259,7 +264,11 @@ class SparseResNet(nn.Module):
             mask = (sb.slot_of_dense < sb.capacity).reshape(
                 sb.batch, *sb.spatial, 1
             )
-            if train and n_sparse and not self.force_dense_train:
+            if (
+                n_sparse
+                and not self.force_dense_train
+                and (train or self.sparse_eval)
+            ):
                 nbr = build_neighbor_table(
                     sb.slot_of_dense,
                     sb.slot_id,

@@ -30,6 +30,7 @@ import numpy as np
 from pillarnext_tpu.parallel import mesh as mesh_lib
 from pillarnext_tpu.train import checkpoint as ckpt_lib
 from pillarnext_tpu.train import train_state as ts_lib
+from pillarnext_tpu.utils import profiling, progress
 
 logger = logging.getLogger("pillarnext_tpu")
 
@@ -69,6 +70,7 @@ class Trainer:
         work_dir: str = ".",
         mesh=None,
         accum_steps: int = 1,
+        profile_dir: str | None = None,  # jax.profiler trace of a few steps
     ):
         self.model = model
         self.train_dataloader = train_dataloader
@@ -83,6 +85,7 @@ class Trainer:
         self.work_dir = Path(work_dir)
         self.mesh = mesh or mesh_lib.make_mesh()
         self.accum_steps = accum_steps
+        self.profile_dir = profile_dir
 
         self.epoch = 0
         self.state: ts_lib.TrainState | None = None
@@ -114,15 +117,26 @@ class Trainer:
         self.train_dataloader.set_epoch(self.epoch)
         num_iters = len(self.train_dataloader)
         t_start = time.time()
+        timer = profiling.StepTimer(window=self.log_every_niters)
+        # trace a few steady-state steps (skip compile) on the first epoch
+        trace_steps = range(3, 6) if (self.profile_dir and self.epoch == 0) else None
         for i, batch in enumerate(self.train_dataloader):
+            if trace_steps and i == trace_steps.start:
+                jax.profiler.start_trace(str(self.profile_dir))
             example = {k: v for k, v in batch.items() if k != "token"}
             example = mesh_lib.shard_batch(example, self.mesh)
             self.state, (scalars, logs) = self._train_step(self.state, example)
+            if (trace_steps and i in trace_steps) or (i + 1) % self.log_every_niters == 0:
+                timer.tick(scalars["loss"])  # scalar fetch = honest fence
+            if trace_steps and i == trace_steps.stop - 1:
+                jax.profiler.stop_trace()
+                self.logger.info("profiler trace written to %s", self.profile_dir)
             if (i + 1) % self.log_every_niters == 0:
                 step = int(self.state.step)
                 lr = float(self.lr_schedule(step)) if self.lr_schedule else float("nan")
                 self.logger.info(
-                    "Epoch [%d/%d][%d/%d]\tlr: %.5f, loss: %.4f, %.2f it/s",
+                    "Epoch [%d/%d][%d/%d]\tlr: %.5f, loss: %.4f, %.2f it/s"
+                    " (fenced step %.0f ms)",
                     self.epoch + 1,
                     self.max_epochs,
                     i + 1,
@@ -130,6 +144,7 @@ class Trainer:
                     lr,
                     float(scalars["loss"]),
                     (i + 1) / (time.time() - t_start),
+                    timer.mean * 1000,
                 )
                 self.logger.info(format_log_dict(jax.tree.map(np.asarray, logs)))
         self.epoch += 1
@@ -141,12 +156,17 @@ class Trainer:
         assert self.state is not None
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
         results: dict[str, dict] = {}
+        bar = (
+            progress.ProgressBar(len(self.val_dataloader)) if self.rank == 0 else None
+        )
         for batch in self.val_dataloader:
             tokens = batch["token"]
             example = {k: v for k, v in batch.items() if k != "token"}
             example = mesh_lib.shard_batch(example, self.mesh)
             dets = self._eval_step(variables, example)
             dets = jax.tree.map(np.asarray, dets)
+            if bar is not None:
+                bar.update()
             for bi, token in enumerate(tokens):
                 valid = dets["valid"][bi]
                 results[token] = {

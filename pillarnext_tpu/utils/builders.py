@@ -44,6 +44,10 @@ def build_model(model_cfg: dict):
         and list(bb.get("ds_layer_strides", [0]))[0] == 1
     ):
         rd.setdefault("output", "sparse")
+        # eval also runs the SubM stage on the sparse gather path: exact and
+        # measured faster than the masked-dense twin (91 vs 106 ms e2e at
+        # B=1 on v5e — the mask multiply relayouts the 1344^2 activation)
+        bb.setdefault("sparse_eval", True)
     # the 3-D backbone always consumes the compact voxel table — the dense
     # voxel18 volume does not fit HBM at config resolution (voxel_encoder.py)
     if (

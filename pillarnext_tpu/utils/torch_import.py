@@ -206,7 +206,8 @@ def import_pillarnext(
     tasks=(),
     common_heads=None,
     num_hm_conv=2,
-    merge_tasks=False,  # must match CenterHead.merge_tasks
+    merge_tasks=False,     # must match CenterHead.merge_tasks
+    merge_branches=False,  # must match CenterHead.merge_branches
 ) -> tuple[dict, dict]:
     """Convert a pillarnet18(_aspp) state_dict -> (params, batch_stats)."""
     sd = dict(state_dict)
@@ -303,6 +304,42 @@ def import_pillarnext(
 
         branches = dict(common_heads)
         branches["hm"] = (len(task), num_hm_conv)
+        if merge_branches and all(nc == 2 for _, nc in branches.values()):
+            # SepHead(merge_branches): concat branch conv1s + their BNs along
+            # output channels into branch1/bn1; finals become out_<name>
+            k1, b1 = [], []
+            bn1 = {"scale": [], "bias": [], "mean": [], "var": []}
+            for bname in branches:
+                k1.append(conv_kernel(sd.pop(f"head.tasks.{ti}.{bname}.0.weight"), head_conv))
+                b1.append(sd.pop(f"head.tasks.{ti}.{bname}.0.bias"))
+                pre = f"head.tasks.{ti}.{bname}.1"
+                bn1["scale"].append(sd.pop(f"{pre}.weight"))
+                bn1["bias"].append(sd.pop(f"{pre}.bias"))
+                bn1["mean"].append(sd.pop(f"{pre}.running_mean"))
+                bn1["var"].append(sd.pop(f"{pre}.running_var"))
+                sd.pop(f"{pre}.num_batches_tracked", None)
+            tp["branch1"] = {
+                "kernel": np.concatenate(k1, axis=-1),
+                "bias": np.concatenate(b1),
+            }
+            tp["bn1"] = {
+                "scale": np.concatenate(bn1["scale"]),
+                "bias": np.concatenate(bn1["bias"]),
+            }
+            tsd["bn1"] = {
+                "mean": np.concatenate(bn1["mean"]),
+                "var": np.concatenate(bn1["var"]),
+            }
+            for bname in branches:
+                tp[f"out_{bname}"] = {
+                    "kernel": conv_kernel(
+                        sd.pop(f"head.tasks.{ti}.{bname}.3.weight"), head_conv
+                    ),
+                    "bias": sd.pop(f"head.tasks.{ti}.{bname}.3.bias"),
+                }
+            params["head"][f"task_{ti}"] = tp
+            stats["head"][f"task_{ti}"] = tsd
+            continue
         for bname, (n_out, n_conv) in branches.items():
             bp, bs = {}, {}
             # torch Sequential: Conv(0), BN(1), ReLU(2), ..., final Conv

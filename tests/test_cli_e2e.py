@@ -60,7 +60,7 @@ def test_train_then_test_cli(tmp_path):
         "--work-dir",
         str(work),
     ] + _overrides(root)
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=480, cwd=tmp_path)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=900, cwd=tmp_path)
     assert r.returncode == 0, r.stderr[-3000:]
 
     # checkpoint written, eval artifacts produced
@@ -82,6 +82,6 @@ def test_train_then_test_cli(tmp_path):
         "--work-dir",
         str(tmp_path / "work2"),
     ] + _overrides(root)
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=480, cwd=tmp_path)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=900, cwd=tmp_path)
     assert r.returncode == 0, r.stderr[-3000:]
     assert (tmp_path / "work2" / "results" / "epoch_1" / "results_nusc.json").exists()

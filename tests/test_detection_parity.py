@@ -69,7 +69,7 @@ TEST_CFG = {
 }
 
 
-def build_torch_model(seed=0):
+def build_torch_model(seed=0, subm=False):
     torch.manual_seed(seed)
     tmodel = tm.TModel(
         num_input_features=5,
@@ -83,13 +83,14 @@ def build_torch_model(seed=0):
         tasks=TASKS,
         common_heads=COMMON,
         head_stride=2,
+        subm=subm,
     )
     tmodel.eval()
     tm.randomize_bn_stats(tmodel, np.random.default_rng(seed + 1))
     return tmodel
 
 
-def build_jax_model():
+def build_jax_model(sparse=False):
     return SingleStageDetector(
         reader=PillarFeatureNet(
             num_input_features=5,
@@ -97,6 +98,7 @@ def build_jax_model():
             voxel_size=VOXEL,
             pc_range=PC_RANGE,
             pillar_capacity=4096,
+            output="sparse" if sparse else "dense",
         ),
         backbone=SparseResNet(
             layer_nums=BB_LAYERS,
@@ -159,10 +161,16 @@ def import_weights(tmodel):
 
 
 class TestDetectionParity:
-    def test_full_pipeline_detections_match(self):
-        tmodel = build_torch_model()
+    @pytest.mark.parametrize(
+        "sparse", [False, True], ids=["dense-path", "sparse-submanifold-path"]
+    )
+    def test_full_pipeline_detections_match(self, sparse):
+        """dense: plain dense backbone vs dense mirror.  sparse: the
+        PRODUCTION path (compact-table reader, SubM stage-0 + masked-dense
+        eval) vs the mirror with exact spconv active-set masking."""
+        tmodel = build_torch_model(subm=sparse)
         params, stats = import_weights(tmodel)
-        model = build_jax_model()
+        model = build_jax_model(sparse=sparse)
 
         pts, mask = make_points()
         with torch.no_grad():

@@ -124,6 +124,38 @@ class TestExperimentConfigs:
         # scheduler interpolation wired to trainer epochs
         assert cfg["scheduler"]["epochs"] == cfg["trainer"]["max_epochs"]
 
+    def test_pointpillars_preset_composes(self):
+        """The reference ships a pointpillars detector preset that references
+        nonexistent config groups; ours must at least compose and build once
+        geometry is supplied (schema completeness)."""
+        from pillarnext_tpu.utils.config import load_config, resolve
+
+        cfg = resolve(
+            load_config(
+                CONFIG_DIR.parent / "models" / "detectors" / "pointpillars.yaml"
+            )
+        )
+        cfg["reader"].update(
+            {"voxel_size": [0.2, 0.2, 8.0], "pc_range": [-3.2, -3.2, -3, 3.2, 3.2, 3]}
+        )
+        cfg["backbone"]["num_input_features"] = cfg["reader"]["num_filters"][-1]
+        cfg["neck"]["in_channels"] = cfg["backbone"].get("out_channels", 256)
+        cfg["head"].update(
+            {
+                "tasks": [["car"]],
+                "in_channels": 256,
+                "weight": 0.25,
+                "code_weights": [1.0] * 10,
+                "strides": [2],
+                "rectifier": [[0.5]],
+                "voxel_size": cfg["reader"]["voxel_size"],
+                "pc_range": cfg["reader"]["pc_range"],
+                "out_size_factor": [4],
+            }
+        )
+        model = builders.build_model(cfg)
+        assert model.head is not None and model.neck is not None
+
     def test_f1_variant_overrides_sweeps(self):
         cfg = load_experiment(CONFIG_DIR / "waymo_det_pp18_aspp_iou_car_sp_f1.yaml")
         assert cfg["data"]["train_dataset"]["nsweeps"] == 1

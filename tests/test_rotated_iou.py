@@ -172,6 +172,30 @@ class TestNms:
         sel, valid = nms.rotated_nms(boxes, scores, 0.5, 4, 4)
         assert int(np.asarray(valid).sum()) == 1
 
+    def test_axis_aligned_nms(self):
+        """nms_normal semantics: yaw is IGNORED — two heavily rotated boxes
+        at the same center suppress each other by their AABB IoU."""
+        boxes = jnp.asarray(
+            np.array(
+                [
+                    [0, 0, 0, 4, 0.5, 1, 0.0],        # kept (highest score)
+                    # same dims rotated 90 deg: yaw-blind IoU = 1 ->
+                    # suppressed; TRUE rotated IoU ~= 0.07 -> rotated keeps it
+                    [0, 0, 0, 4, 0.5, 1, np.pi / 2],
+                    [9, 9, 0, 2, 2, 1, 1.2],          # far away -> kept
+                    [9.2, 9, 0, 2, 2, 1, 0.0],        # overlaps #2 -> suppressed
+                ],
+                np.float32,
+            )
+        )
+        scores = jnp.asarray([0.9, 0.8, 0.7, 0.6], jnp.float32)
+        sel, valid = nms.axis_aligned_nms(boxes, scores, 0.5, 4, 4)
+        kept = sorted(np.asarray(sel)[np.asarray(valid)].tolist())
+        assert kept == [0, 2]
+        sel_r, valid_r = nms.rotated_nms(boxes, scores, 0.5, 4, 4)
+        kept_r = sorted(np.asarray(sel_r)[np.asarray(valid_r)].tolist())
+        assert 1 in kept_r
+
     def test_circle_nms(self):
         centers = jnp.array([[0, 0], [0.5, 0], [5, 5]], jnp.float32)
         scores = jnp.array([0.9, 0.8, 0.85])

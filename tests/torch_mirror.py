@@ -125,7 +125,8 @@ class TConvBlock(tnn.Module):
 
 class TResBlock(tnn.Module):
     """reference SparseBasicBlock (sparse_conv.py:42-63): block1(conv-bn-relu),
-    conv2-bn2, +identity, relu."""
+    conv2-bn2, +identity, relu.  With ``mask`` the inner activation is
+    re-masked too (SubM computes only at active sites)."""
 
     def __init__(self, ch, k=3):
         super().__init__()
@@ -133,20 +134,32 @@ class TResBlock(tnn.Module):
         self.conv2 = tnn.Conv2d(ch, ch, k, padding=k // 2, bias=False)
         self.norm2 = tnn.BatchNorm2d(ch, eps=1e-3, momentum=0.01)
 
-    def forward(self, x):
-        return tF.relu(self.norm2(self.conv2(self.block1(x))) + x)
+    def forward(self, x, mask=None):
+        t = self.block1(x)
+        if mask is not None:
+            t = t * mask
+        y = tF.relu(self.norm2(self.conv2(t)) + x)
+        return y if mask is None else y * mask
 
 
 class TBackbone(tnn.Module):
-    """reference SparseResNet (sparse_resnet.py:10-68), dense stand-in."""
+    """reference SparseResNet (sparse_resnet.py:10-68).  ``subm=True``
+    replicates spconv's active-set semantics densely: every block's output
+    is re-masked to the active set (SubM blocks preserve it; strided
+    SparseConv dilates it by the kernel window) — the oracle for our
+    sparse/masked-dense backbone paths."""
 
-    def __init__(self, c_in, filters, strides, layer_nums, out_ch):
+    def __init__(self, c_in, filters, strides, layer_nums, out_ch, subm=False):
         super().__init__()
+        self.subm = subm
+        self.strides = list(strides)
         blocks = []
         cin = c_in
         for f, s, n in zip(filters, strides, layer_nums):
-            stage = [TConvBlock(cin, f, stride=s)] + [TResBlock(f) for _ in range(n)]
-            blocks.append(tnn.Sequential(*stage))
+            stage = tnn.ModuleList(
+                [TConvBlock(cin, f, stride=s)] + [TResBlock(f) for _ in range(n)]
+            )
+            blocks.append(stage)
             cin = f
         self.blocks = tnn.ModuleList(blocks)
         self.mapping = tnn.Sequential(
@@ -156,9 +169,18 @@ class TBackbone(tnn.Module):
         )
 
     def forward(self, x):
-        for b in self.blocks:
-            x = b(x)
-        return self.mapping(x)
+        if not self.subm:
+            for stage in self.blocks:
+                for b in stage:
+                    x = b(x)
+            return self.mapping(x)
+        mask = (x.abs().sum(1, keepdim=True) > 0).float()
+        for stage, s in zip(self.blocks, self.strides):
+            if s > 1:
+                mask = tF.max_pool2d(mask, 3, stride=s, padding=1)
+            for b in stage:
+                x = b(x, mask) if isinstance(b, TResBlock) else b(x) * mask
+        return self.mapping(x) * mask
 
 
 # --------------------------------------------------------------------- neck
@@ -265,11 +287,13 @@ class TModel(tnn.Module):
         tasks,
         common_heads,
         head_stride=2,
+        subm=False,
     ):
         super().__init__()
         self.reader = TReader(num_input_features, num_filters, voxel_size, pc_range)
         self.backbone = TBackbone(
-            num_filters[-1], bb_filters, bb_strides, bb_layer_nums, out_channels
+            num_filters[-1], bb_filters, bb_strides, bb_layer_nums, out_channels,
+            subm=subm,
         )
         self.neck = TASPP(out_channels)
         self.head = THead(out_channels, tasks, common_heads, stride=head_stride)

@@ -38,6 +38,12 @@ import os
 
 if os.environ.get("PNX_NO_MERGE"):
     cfg["model"]["head"]["merge_tasks"] = False
+if os.environ.get("PNX_SPARSE_EVAL"):
+    cfg["model"]["backbone"]["sparse_eval"] = True
+if os.environ.get("PNX_MERGE_BRANCHES"):
+    cfg["model"]["head"]["merge_branches"] = True
+if os.environ.get("PNX_PILLAR_CAP"):
+    cfg["model"]["reader"]["pillar_capacity"] = int(os.environ["PNX_PILLAR_CAP"])
 model = builders.build_model(cfg["model"])
 
 rng = np.random.default_rng(0)

@@ -50,6 +50,12 @@ def main():
     parser.add_argument("--work-dir", default="work_dir")
     parser.add_argument("--resume-from", default=None)
     parser.add_argument("--load-from", default=None)
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="LOGDIR",
+        help="write a jax.profiler trace of a few steady-state train steps",
+    )
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args()
 
@@ -103,6 +109,7 @@ def main():
         logger_=log,
         work_dir=args.work_dir,
         mesh=mesh_lib.make_mesh(),
+        profile_dir=args.profile,
     )
 
     first_batch = next(iter(train_loader))
