@@ -83,8 +83,36 @@ def main():
     outs = [predict(variables, pts_j, mask_j) for _ in range(ITERS)]
     fetch(outs[-1])
     dt = time.perf_counter() - t0
-
     fps = BATCH * ITERS / dt
+
+    # stage breakdown (reader -> features -> +head -> +decode/NMS) so the
+    # headline number is explainable; approximate MFU from the model's
+    # ~2.7 TFLOP/frame against the v5e bf16 peak
+    @jax.jit
+    def feat(v, points, points_mask):
+        return jnp.sum(
+            model.apply(
+                v, points, points_mask,
+                method=lambda m, p, q: m.extract_feat(p, q, False),
+            ).astype(jnp.float32)
+        )
+
+    @jax.jit
+    def fwd(v, points, points_mask):
+        preds = model.apply(v, points, points_mask)
+        return sum(jnp.sum(x.astype(jnp.float32)) for d in preds for x in d.values())
+
+    def timeit(fn, fence):
+        fence(fn(variables, pts_j, mask_j))
+        t = time.perf_counter()
+        outs = [fn(variables, pts_j, mask_j) for _ in range(ITERS)]
+        fence(outs[-1])
+        return (time.perf_counter() - t) / ITERS * 1000
+
+    feat_ms = timeit(feat, lambda o: float(o))
+    fwd_ms = timeit(fwd, lambda o: float(o))
+    e2e_ms = dt / ITERS * 1000
+    model_tflop = 2.7 * BATCH  # backbone 2.0 + neck 0.23 + head ~0.45
     print(
         json.dumps(
             {
@@ -92,6 +120,13 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / REFERENCE_A100_FPS, 3),
+                "breakdown_ms": {
+                    "features": round(feat_ms, 1),
+                    "head": round(fwd_ms - feat_ms, 1),
+                    "decode_nms": round(e2e_ms - fwd_ms, 1),
+                    "e2e": round(e2e_ms, 1),
+                },
+                "approx_mfu": round(model_tflop / (e2e_ms / 1000) / 98.3, 3),
             }
         )
     )

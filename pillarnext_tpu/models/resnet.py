@@ -233,6 +233,9 @@ class SparseResNet(nn.Module):
     # ~4% active sites beats the masked-dense conv (whose (B,H,W,1)-broadcast
     # mask multiply relayouts the activation around every conv)
     sparse_eval: bool = False
+    # rematerialize dense stages in training (memory for FLOPs); with the
+    # sparse stage-0 the dense tail starts at 672^2 and may fit un-remat'ed
+    remat_train: bool = True
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -292,7 +295,11 @@ class SparseResNet(nn.Module):
                 x = sb.to_dense()
             mask = mask.astype(x.dtype)
 
-        stage_cls = nn.remat(_Stage, static_argnums=(2,)) if train else _Stage
+        stage_cls = (
+            nn.remat(_Stage, static_argnums=(2,))
+            if train and self.remat_train
+            else _Stage
+        )
         for i in range(start, len(self.layer_nums)):
             if mask is not None and self.ds_layer_strides[i] > 1:
                 # strided SparseConv dilates the active set (output site is

@@ -31,6 +31,10 @@ cfg = load_experiment(
     Path(__file__).resolve().parent.parent
     / "pillarnext_tpu/configs/experiments/nusc_det_pp18_aspp_iou_sp.yaml"
 )
+import os
+
+if os.environ.get("PNX_NO_REMAT"):
+    cfg["model"]["backbone"]["remat_train"] = False
 model = builders.build_model(cfg["model"])
 rng = np.random.default_rng(0)
 pc = cfg["model"]["reader"]["pc_range"]
@@ -121,5 +125,29 @@ elif STAGE == "train":
         _ = float(sc["loss"])
     dt = (time.perf_counter() - t0) / 5
     print(f"train B={B}: {dt * 1000:.0f} ms  ({B / dt:.2f} frames/s)", flush=True)
+elif STAGE == "trainfeat":
+    # backward of the feature extractor only: separates backbone fwd+bwd
+    # cost from head/loss cost in the full train step
+    @jax.jit
+    def g(v, p, m):
+        def f(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                p, m,
+                method=lambda mdl, pp, mm: mdl.extract_feat(pp, mm, True),
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        grads = jax.grad(f)(v["params"])
+        return sum(jnp.sum(jnp.abs(x).astype(jnp.float32)) for x in jax.tree.leaves(grads))
+
+    t0 = time.perf_counter()
+    float(g(variables, pts_j, mask_j))
+    print(f"trainfeat compile+1st: {time.perf_counter() - t0:.0f}s", flush=True)
+    t0 = time.perf_counter()
+    outs = [g(variables, pts_j, mask_j) for _ in range(5)]
+    float(outs[-1])
+    dt = (time.perf_counter() - t0) / 5
+    print(f"trainfeat B={B}: {dt * 1000:.0f} ms", flush=True)
 else:
     raise SystemExit(f"unknown stage {STAGE}")
