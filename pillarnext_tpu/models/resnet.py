@@ -233,6 +233,12 @@ class SparseResNet(nn.Module):
     # ~4% active sites beats the masked-dense conv (whose (B,H,W,1)-broadcast
     # mask multiply relayouts the activation around every conv)
     sparse_eval: bool = False
+    # eval-only: skip active-set re-masking of the dense TAIL stages
+    # (stride-2 and below).  The SubM stage-0 stays exact either way; the
+    # tail then bleeds BN constants into empty cells like any dense conv
+    # (round-1 semantics from 672^2 down).  ~7 ms/frame cheaper; keep True
+    # for bit-exact spconv parity (e.g. scoring imported weights).
+    masked_eval: bool = True
     # rematerialize dense stages in training (memory for FLOPs); with the
     # sparse stage-0 the dense tail starts at 672^2 and may fit un-remat'ed
     remat_train: bool = True
@@ -294,6 +300,8 @@ class SparseResNet(nn.Module):
             else:
                 x = sb.to_dense()
             mask = mask.astype(x.dtype)
+            if not train and not self.masked_eval:
+                mask = None
 
         stage_cls = (
             nn.remat(_Stage, static_argnums=(2,))

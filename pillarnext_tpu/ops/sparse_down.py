@@ -215,9 +215,11 @@ def _bwd(precision, res, g):
     cin = table.shape[-1]
     cout = kernel.shape[-1]
 
+    # operands stay in storage dtype, f32 accumulation (see subm_conv._subm_bwd)
     x = table[nbr_fwd.reshape(-1)].reshape(cap_out, k * cin)
-    dk = jax.lax.dot(
-        x.T.astype(jnp.float32), g.astype(jnp.float32), precision=precision
+    dk = jax.lax.dot_general(
+        x.T, g, (((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
     ).reshape(k, cin, cout)
 
     # dx[i] = sum_t g[rev(i, t)] @ W[t]^T  (one gather + one matmul)

@@ -140,10 +140,14 @@ def _subm_bwd(precision, res, g):
     cin = table.shape[-1]
     cout = kernel.shape[-1]
 
-    # dW: re-gather x (cheap; avoids saving the (cap, K*Cin) buffer)
+    # dW: re-gather x (cheap; avoids saving the (cap, K*Cin) buffer).
+    # Operands stay in their storage dtype with f32 ACCUMULATION — casting
+    # them to f32 first materializes a (cap, K*Cin) f32 temp (0.5 GB at the
+    # voxel18 capacity; OOMed the full-scale train step).
     x = table[nbr.reshape(-1)].reshape(cap, k * cin)
-    dk = jax.lax.dot(
-        x.T.astype(jnp.float32), g.astype(jnp.float32), precision=precision
+    dk = jax.lax.dot_general(
+        x.T, g, (((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
     ).reshape(k, cin, cout)
 
     # dx: mirrored-transposed SubM conv of g over the same active set

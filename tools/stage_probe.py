@@ -42,20 +42,17 @@ if os.environ.get("PNX_SPARSE_EVAL"):
     cfg["model"]["backbone"]["sparse_eval"] = True
 if os.environ.get("PNX_MERGE_BRANCHES"):
     cfg["model"]["head"]["merge_branches"] = True
+if os.environ.get("PNX_UNMASKED_TAIL"):
+    cfg["model"]["backbone"]["masked_eval"] = False
+if os.environ.get("PNX_APPROX_TOPK"):
+    cfg["model"]["post_processing"]["approx_topk"] = True
 if os.environ.get("PNX_PILLAR_CAP"):
     cfg["model"]["reader"]["pillar_capacity"] = int(os.environ["PNX_PILLAR_CAP"])
 model = builders.build_model(cfg["model"])
 
-rng = np.random.default_rng(0)
-r = np.minimum(np.abs(rng.gamma(2.0, 9.0, (B, N))), 50.0)
-theta = rng.uniform(-np.pi, np.pi, (B, N))
-pts = np.zeros((B, N, 5), np.float32)
-pts[..., 0] = r * np.cos(theta)
-pts[..., 1] = r * np.sin(theta)
-pts[..., 2] = np.clip(rng.normal(-1.2, 0.8, (B, N)), -3.0, 1.0)
-pts[..., 3] = rng.uniform(0, 1, (B, N))
-pts[..., 4] = rng.uniform(0, 0.5, (B, N))
-mask = np.ones((B, N), bool)
+from pillarnext_tpu.utils.synth import lidar_like_points
+
+pts, mask = lidar_like_points(B, N, cfg["model"]["reader"]["pc_range"], seed=0)
 pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
 variables = jax.jit(model.init)(jax.random.PRNGKey(0), pts_j[:1], mask_j[:1])
 jax.block_until_ready(variables)
