@@ -154,12 +154,17 @@ class _SparseStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, valid, nbr, train: bool = False):
-        x = SparseConvBlock(
+        # remat per block in training: the compact tables are tiny (MBs) but
+        # each conv's backward re-gathers a (cap, K*Cin) neighborhood buffer
+        # — remat serializes those temps instead of keeping them all live
+        conv_cls = nn.remat(SparseConvBlock, static_argnums=(4,)) if train else SparseConvBlock
+        res_cls = nn.remat(SparseResidualBlock, static_argnums=(4,)) if train else SparseResidualBlock
+        x = conv_cls(
             self.features, self.kernel_size,
             axis_name=self.axis_name, dtype=self.dtype, name="down",
         )(x, valid, nbr, train)
         for j in range(self.num_blocks):
-            x = SparseResidualBlock(
+            x = res_cls(
                 self.features, self.kernel_size,
                 axis_name=self.axis_name, dtype=self.dtype, name=f"block_{j}",
             )(x, valid, nbr, train)
@@ -444,6 +449,12 @@ class SparseResNet3D(nn.Module):
         valid, sod, slot_id = sb.valid, sb.slot_of_dense, sb.slot_id
         cap = sb.capacity
 
+        # remat per block in training: each conv backward re-gathers a
+        # (cap, K*Cin) buffer (243 MB at voxel18 capacity); without remat
+        # XLA keeps them all live and the step OOMs at config resolution
+        conv_cls = nn.remat(SparseConvBlock, static_argnums=(4,)) if train else SparseConvBlock
+        res_cls = nn.remat(SparseResidualBlock, static_argnums=(4,)) if train else SparseResidualBlock
+
         for i, num_blocks in enumerate(self.layer_nums):
             k, s = self.kernel_size[i], self.ds_layer_strides[i]
             f = self.ds_num_filters[i]
@@ -472,7 +483,7 @@ class SparseResNet3D(nn.Module):
                 nbr0 = build_neighbor_table(
                     sod, slot_id, spatial, subm_offsets_3d(k), cap
                 )
-                table = SparseConvBlock(
+                table = conv_cls(
                     f, k, ndim=3, axis_name=self.axis_name, dtype=self.dtype,
                     name=f"stage_{i}_down",
                 )(table, valid, nbr0, train)
@@ -481,7 +492,7 @@ class SparseResNet3D(nn.Module):
                     sod, slot_id, spatial, subm_offsets_3d(k), cap
                 )
                 for j in range(num_blocks):
-                    table = SparseResidualBlock(
+                    table = res_cls(
                         f, k, ndim=3, axis_name=self.axis_name, dtype=self.dtype,
                         name=f"stage_{i}_block_{j}",
                     )(table, valid, nbr, train)

@@ -215,10 +215,11 @@ def _bwd(precision, res, g):
     cin = table.shape[-1]
     cout = kernel.shape[-1]
 
-    # operands stay in storage dtype, f32 accumulation (see subm_conv._subm_bwd)
+    # operands stay in storage dtype, f32 accumulation, transpose-free
+    # contraction (see subm_conv._subm_bwd)
     x = table[nbr_fwd.reshape(-1)].reshape(cap_out, k * cin)
     dk = jax.lax.dot_general(
-        x.T, g, (((1,), (0,)), ((), ())),
+        x, g, (((0,), (0,)), ((), ())),
         precision=precision, preferred_element_type=jnp.float32,
     ).reshape(k, cin, cout)
 

@@ -141,12 +141,13 @@ def _subm_bwd(precision, res, g):
     cout = kernel.shape[-1]
 
     # dW: re-gather x (cheap; avoids saving the (cap, K*Cin) buffer).
-    # Operands stay in their storage dtype with f32 ACCUMULATION — casting
-    # them to f32 first materializes a (cap, K*Cin) f32 temp (0.5 GB at the
+    # Operands stay in their storage dtype with f32 ACCUMULATION, and the
+    # contraction runs over x's leading axis directly — an explicit x.T (or
+    # f32 pre-cast) materializes a (cap, K*Cin) copy per conv (243 MB at the
     # voxel18 capacity; OOMed the full-scale train step).
     x = table[nbr.reshape(-1)].reshape(cap, k * cin)
     dk = jax.lax.dot_general(
-        x.T, g, (((1,), (0,)), ((), ())),
+        x, g, (((0,), (0,)), ((), ())),
         precision=precision, preferred_element_type=jnp.float32,
     ).reshape(k, cin, cout)
 

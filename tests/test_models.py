@@ -258,6 +258,24 @@ class TestDetectorForward:
         labels = np.asarray(dets["label_preds"])
         assert labels.min() >= 0 and labels.max() <= 2
 
+    def test_predict_approx_topk_close_to_exact(self, model_and_batch):
+        """post_processing.approx_topk swaps the per-lane candidate sort for
+        approx_max_k; on small candidate sets the kept detections should be
+        (near-)identical to the exact path."""
+        model, variables, example = model_and_batch
+        exact = model.apply(variables, example, method=model.predict)
+        cfg = dict(model.post_processing)
+        cfg["approx_topk"] = True
+        approx_model = model.clone(post_processing=cfg)
+        approx = approx_model.apply(variables, example, method=model.predict)
+        ev, av = np.asarray(exact["valid"]), np.asarray(approx["valid"])
+        assert ev.sum() > 0
+        # identical detection count and (sorted) score multiset
+        assert ev.sum() == av.sum()
+        es = np.sort(np.asarray(exact["scores"])[ev])
+        as_ = np.sort(np.asarray(approx["scores"])[av])
+        np.testing.assert_allclose(es, as_, atol=1e-5)
+
 
 class TestAssignLabel:
     def test_golden_target(self):
