@@ -10,6 +10,14 @@ fusion heuristics decide to spill).  Output: the (M, N) IoU matrix.
 Used by the NMS overlap tests and available as a drop-in for
 core.jax_box_ops.boxes_iou_bev on TPU (PNX_USE_PALLAS_IOU=1); runs in
 interpreter mode on CPU for the test suite.
+
+DEPLOYMENT STATUS (round 2): Mosaic kernel compilation HANGS through the
+remote-TPU (axon) tunnel — including a trivial 2-line elementwise kernel
+(tools/pallas_probe.py; >900 s, reproduced twice in round 1 and round 2).
+This is an infrastructure limitation of the tunneled compile path, not a
+kernel defect: the kernel is interpreter-verified against the XLA
+implementation to 1e-3.  On a directly-attached TPU runtime, wire it in
+via PNX_USE_PALLAS_IOU and validate with tools/pallas_probe.py.
 """
 
 from __future__ import annotations
