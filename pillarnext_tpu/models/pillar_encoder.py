@@ -61,7 +61,10 @@ class PFNLayer(nn.Module):
         )
         if self.last_layer:
             return pillar_max  # (num_segments, units)
-        return jnp.concatenate([x, pillar_max[seg_ids]], axis=-1)
+        back = scatter.gather_segments(
+            pillar_max, seg_ids, indices_are_sorted=self.sorted_ids
+        )
+        return jnp.concatenate([x, back], axis=-1)
 
 
 class PillarFeatureNet(nn.Module):
@@ -120,7 +123,7 @@ class PillarFeatureNet(nn.Module):
             num_segments,
             indices_are_sorted=True,
         )
-        f_cluster = xyz_s - mean_xyz[slot]
+        f_cluster = xyz_s - scatter.gather_segments(mean_xyz, slot)
 
         # center offsets from the pillar center (pillar_encoder.py:119-120)
         vs = jnp.asarray(grid.voxel_size[:2], jnp.float32)

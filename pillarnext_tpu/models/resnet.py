@@ -142,6 +142,64 @@ class SparseResidualBlock(nn.Module):
         return jnp.where(valid[:, None], nn.relu(x + identity), 0.0)
 
 
+class _SparseStridedConvBlock(nn.Module):
+    """Strided sparse conv + masked BN + ReLU over compact tables — the
+    sparse twin of a strided ConvBlock (reference SparseConv2d block,
+    sparse_conv.py:16-39), with ConvBlock-compatible parameter names so
+    dense and sparse checkpoints interchange."""
+
+    features: int
+    kernel_size: int = 3
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, out_valid, nbr_fwd, nbr_rev, train: bool = False):
+        k = self.kernel_size
+        x = _SparseDownConv(
+            self.features, (k, k), self.dtype, name="Conv_0"
+        )(x, nbr_fwd, nbr_rev)
+        x = MaskedBatchNorm(
+            axis_name=self.axis_name, dtype=self.dtype, name="BatchNorm_0"
+        )(x, out_valid, train)
+        return jnp.where(out_valid[:, None], nn.relu(x), 0.0)
+
+
+class _SparseStridedStage(nn.Module):
+    """One strided backbone stage fully over compact tables: set-dilating
+    downsample conv then SubM residual blocks at the new resolution.  Param
+    tree (down + block_j) matches the dense _Stage."""
+
+    features: int
+    kernel_size: int
+    num_blocks: int
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, out_valid, nbr_fwd, nbr_rev, nbr_sub, train: bool = False):
+        down_cls = (
+            nn.remat(_SparseStridedConvBlock, static_argnums=(5,))
+            if train
+            else _SparseStridedConvBlock
+        )
+        res_cls = (
+            nn.remat(SparseResidualBlock, static_argnums=(4,))
+            if train
+            else SparseResidualBlock
+        )
+        x = down_cls(
+            self.features, self.kernel_size,
+            axis_name=self.axis_name, dtype=self.dtype, name="down",
+        )(x, out_valid, nbr_fwd, nbr_rev, train)
+        for j in range(self.num_blocks):
+            x = res_cls(
+                self.features, self.kernel_size,
+                axis_name=self.axis_name, dtype=self.dtype, name=f"block_{j}",
+            )(x, out_valid, nbr_sub, train)
+        return x
+
+
 class _SparseStage(nn.Module):
     """One leading stride-1 backbone stage over the compact table, with the
     same param tree (down + block_j) as the dense _Stage."""
@@ -247,6 +305,17 @@ class SparseResNet(nn.Module):
     # rematerialize dense stages in training (memory for FLOPs); with the
     # sparse stage-0 the dense tail starts at 672^2 and may fit un-remat'ed
     remat_train: bool = True
+    # 'leading': only the stride-1 prefix runs sparse (tail is masked dense)
+    # 'all': the WHOLE backbone runs over compact tables — strided stages
+    # use the set-dilating sparse conv, the image is densified only at the
+    # final (H/8) grid.  No mask multiplies anywhere (the (B,H,W,1)
+    # broadcast relayouts dominate both eval and train-backward time of the
+    # masked dense tail), and the remat'ed tables are MBs instead of GBs.
+    sparse_stages: str = "leading"
+    # per-stage compact capacities for sparse_stages='all' as fractions of
+    # the input capacity; active counts shrink ~2x per stride-2 stage (3x3
+    # dilation then 4:1 cell merge)
+    stage_capacity_frac: Sequence[float] = (1.0, 0.5, 0.25, 0.125)
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -278,11 +347,10 @@ class SparseResNet(nn.Module):
             mask = (sb.slot_of_dense < sb.capacity).reshape(
                 sb.batch, *sb.spatial, 1
             )
-            if (
-                n_sparse
-                and not self.force_dense_train
-                and (train or self.sparse_eval)
-            ):
+            use_sparse = not self.force_dense_train and (train or self.sparse_eval)
+            if use_sparse and self.sparse_stages == "all":
+                return self._all_sparse(sb, train)
+            if n_sparse and use_sparse:
                 nbr = build_neighbor_table(
                     sb.slot_of_dense,
                     sb.slot_id,
@@ -347,6 +415,66 @@ class SparseResNet(nn.Module):
         )(x, train, mask)
         return x
 
+    def _all_sparse(self, sb: SparseBEV, train: bool):
+        """Whole backbone over compact tables (spconv-exact, no masks):
+        SubM stride-1 stages, set-dilating strided downsamples, SubM 1x1
+        mapping; densified once at the final (H/8) grid.  Same param tree
+        as the dense path (dense/sparse checkpoints interchange)."""
+        batch = sb.batch
+        spatial = sb.spatial
+        table = sb.table[:-1]
+        valid, sod, slot_id = sb.valid, sb.slot_of_dense, sb.slot_id
+        cap0 = sb.capacity
+
+        for i, num_blocks in enumerate(self.layer_nums):
+            k, s, f = self.kernel_size[i], self.ds_layer_strides[i], self.ds_num_filters[i]
+            if s == 1:
+                nbr = build_neighbor_table(
+                    sod, slot_id, spatial, subm_offsets_2d(k), valid.shape[0]
+                )
+                table = _SparseStage(
+                    f, k, num_blocks,
+                    axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"stage_{i}",
+                )(table, valid, nbr, train)
+            else:
+                cap_out = max(int(cap0 * float(self.stage_capacity_frac[i])), 4096)
+                out_slot_id, out_sod, out_valid, out_sp = downsample_active_set(
+                    slot_id, batch, spatial, (k, k), (s, s), cap_out
+                )
+                nbr_fwd, nbr_rev = build_down_neighbor_tables(
+                    sod, out_slot_id, out_sod, slot_id, batch, spatial,
+                    (k, k), (s, s),
+                )
+                nbr_sub = build_neighbor_table(
+                    out_sod, out_slot_id, out_sp, subm_offsets_2d(k), cap_out
+                )
+                table = _SparseStridedStage(
+                    f, k, num_blocks,
+                    axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"stage_{i}",
+                )(table, out_valid, nbr_fwd, nbr_rev, nbr_sub, train)
+                valid, sod, slot_id, spatial = out_valid, out_sod, out_slot_id, out_sp
+
+        # 1x1 mapping = SubM with self-neighbors (ConvBlock-compatible tree)
+        nbr1 = build_neighbor_table(
+            sod, slot_id, spatial, np.zeros((1, 2), np.int32), valid.shape[0]
+        )
+        table = SparseConvBlock(
+            self.out_channels, 1,
+            axis_name=self.axis_name, dtype=self.dtype, name="ConvBlock_0",
+        )(table, valid, nbr1, train)
+
+        return SparseBEV(
+            table=jnp.concatenate(
+                [table, jnp.zeros((1, table.shape[-1]), table.dtype)], axis=0
+            ),
+            valid=valid,
+            slot_of_dense=sod,
+            slot_id=slot_id,
+            batch=batch,
+            spatial=tuple(spatial),
+        ).to_dense()
 
 
 class SparseResNet3D(nn.Module):

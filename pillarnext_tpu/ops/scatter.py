@@ -52,6 +52,41 @@ def segment_mean(
     return total / jnp.maximum(count, 1.0)[:, None]
 
 
+def gather_segments(
+    table: jnp.ndarray, segment_ids: jnp.ndarray, indices_are_sorted: bool = True
+) -> jnp.ndarray:
+    """``table[segment_ids]`` with a SORTED segment-sum backward.
+
+    Autodiff of a plain gather emits a generic scatter-add WITHOUT the
+    sorted/duplicate hints, which serializes colliding updates on TPU — and
+    the pillar pipeline's broadcast-back gathers (``pillar_max[seg_ids]``,
+    ``mean_xyz[slot]``) have ~5 colliding points per pillar by construction.
+    The custom VJP re-expresses the backward as ``segment_sum`` with
+    ``indices_are_sorted`` carried through.
+    """
+    num_segments = table.shape[0]
+
+    @jax.custom_vjp
+    def _gather(t):
+        return jnp.take(t, segment_ids, axis=0, indices_are_sorted=indices_are_sorted)
+
+    def _fwd(t):
+        return _gather(t), None
+
+    def _bwd(_, g):
+        return (
+            jax.ops.segment_sum(
+                g,
+                segment_ids,
+                num_segments=num_segments,
+                indices_are_sorted=indices_are_sorted,
+            ),
+        )
+
+    _gather.defvjp(_fwd, _bwd)
+    return _gather(table)
+
+
 def segment_max(
     data: jnp.ndarray,
     segment_ids: jnp.ndarray,

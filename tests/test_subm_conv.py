@@ -231,3 +231,80 @@ def test_sparse_train_path_equals_masked_dense_path():
     ):
         assert ks == kd
         np.testing.assert_allclose(np.asarray(vs), np.asarray(vd), rtol=2e-2, atol=2e-2)
+
+
+def test_all_sparse_backbone_equals_masked_dense():
+    """sparse_stages='all' (whole backbone over compact tables, densify at
+    the final grid) must equal the masked-dense path on the SAME params:
+    spconv-exact values everywhere, zeros off the active set."""
+    from pillarnext_tpu.models.pillar_encoder import PillarFeatureNet
+    from pillarnext_tpu.models.resnet import SparseResNet
+
+    rng = np.random.default_rng(11)
+    common = dict(
+        num_input_features=5,
+        num_filters=[16, 16],
+        voxel_size=[0.5, 0.5, 8.0],
+        pc_range=[-12.0, -12.0, -5.0, 12.0, 12.0, 3.0],
+        pillar_capacity=256,
+        output="sparse",
+    )
+    bb_kw = dict(
+        layer_nums=[1, 1, 1],
+        ds_layer_strides=[1, 2, 2],
+        ds_num_filters=[16, 24, 32],
+        num_input_features=16,
+        kernel_size=(3, 3, 3),
+        out_channels=32,
+    )
+    pts = jnp.asarray(rng.normal(size=(2, 300, 5)).astype(np.float32) * 6)
+    mask = jnp.ones((2, 300), bool)
+
+    import flax.linen as fnn
+
+    class M(fnn.Module):
+        stages: str
+        force: bool = False
+
+        @fnn.compact
+        def __call__(self, p, q, train=False):
+            sb = PillarFeatureNet(**common, name="reader")(p, q, train)
+            return SparseResNet(
+                **bb_kw,
+                sparse_eval=True,
+                sparse_stages=self.stages,
+                force_dense_train=self.force,
+                name="backbone",
+            )(sb, train)
+
+    m_all = M("all")
+    m_masked = M("leading", force=True)  # masked dense everywhere
+    v = m_all.init(jax.random.PRNGKey(0), pts, mask)
+
+    out_a = m_all.apply(v, pts, mask, False)
+    out_m = m_masked.apply(v, pts, mask, False)
+    assert out_a.shape == out_m.shape
+    np.testing.assert_allclose(
+        np.asarray(out_a), np.asarray(out_m), rtol=2e-2, atol=2e-2
+    )
+    assert float(jnp.abs(out_a).max()) > 0
+
+    # train: grads finite, BN stat updates match the masked-dense path
+    def loss(params, model):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            pts, mask, True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2), mut["batch_stats"]
+
+    (la, stats_a), ga = jax.value_and_grad(lambda p: loss(p, m_all), has_aux=True)(v["params"])
+    (lm, stats_m), gm = jax.value_and_grad(lambda p: loss(p, m_masked), has_aux=True)(v["params"])
+    np.testing.assert_allclose(float(la), float(lm), rtol=2e-2)
+    for (ka, va_), (km, vm_) in zip(
+        jax.tree_util.tree_leaves_with_path(ga),
+        jax.tree_util.tree_leaves_with_path(gm),
+    ):
+        assert ka == km
+        np.testing.assert_allclose(
+            np.asarray(va_), np.asarray(vm_), rtol=5e-2, atol=5e-2
+        )

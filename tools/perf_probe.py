@@ -35,6 +35,8 @@ import os
 
 if os.environ.get("PNX_NO_REMAT"):
     cfg["model"]["backbone"]["remat_train"] = False
+if os.environ.get("PNX_SPARSE_ALL"):
+    cfg["model"]["backbone"]["sparse_stages"] = "all"
 model = builders.build_model(cfg["model"])
 rng = np.random.default_rng(0)
 pc = cfg["model"]["reader"]["pc_range"]
