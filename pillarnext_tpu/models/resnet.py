@@ -305,13 +305,17 @@ class SparseResNet(nn.Module):
     # rematerialize dense stages in training (memory for FLOPs); with the
     # sparse stage-0 the dense tail starts at 672^2 and may fit un-remat'ed
     remat_train: bool = True
-    # 'leading': only the stride-1 prefix runs sparse (tail is masked dense)
-    # 'all': the WHOLE backbone runs over compact tables — strided stages
-    # use the set-dilating sparse conv, the image is densified only at the
-    # final (H/8) grid.  No mask multiplies anywhere (the (B,H,W,1)
-    # broadcast relayouts dominate both eval and train-backward time of the
-    # masked dense tail), and the remat'ed tables are MBs instead of GBs.
-    sparse_stages: str = "leading"
+    # 'leading': only the stride-1 prefix runs sparse (tail is [masked]
+    # dense).  'all': the WHOLE backbone runs over compact tables — strided
+    # stages use the set-dilating sparse conv, the image is densified only
+    # at the final (H/8) grid; no mask multiplies anywhere (their
+    # (B,H,W,1)-broadcast relayouts dominate the masked dense tail), and
+    # remat'ed tables are MBs instead of GBs.  Measured on v5e (flagship,
+    # B=2): train 'all' 599 ms vs 'leading'+masked 774 ms; eval 'leading'
+    # with an unmasked dense tail wins (75.6 ms vs 94.5 'all') because the
+    # dense tail convs are MXU-efficient where sparse gathers are not.
+    sparse_stages_train: str = "all"
+    sparse_stages_eval: str = "leading"
     # per-stage compact capacities for sparse_stages='all' as fractions of
     # the input capacity; active counts shrink ~2x per stride-2 stage (3x3
     # dilation then 4:1 cell merge)
@@ -348,7 +352,8 @@ class SparseResNet(nn.Module):
                 sb.batch, *sb.spatial, 1
             )
             use_sparse = not self.force_dense_train and (train or self.sparse_eval)
-            if use_sparse and self.sparse_stages == "all":
+            stages_mode = self.sparse_stages_train if train else self.sparse_stages_eval
+            if use_sparse and stages_mode == "all":
                 return self._all_sparse(sb, train)
             if n_sparse and use_sparse:
                 nbr = build_neighbor_table(

@@ -272,7 +272,8 @@ def test_all_sparse_backbone_equals_masked_dense():
             return SparseResNet(
                 **bb_kw,
                 sparse_eval=True,
-                sparse_stages=self.stages,
+                sparse_stages_train=self.stages,
+                sparse_stages_eval=self.stages,
                 force_dense_train=self.force,
                 name="backbone",
             )(sb, train)

@@ -36,16 +36,14 @@ import os
 if os.environ.get("PNX_NO_REMAT"):
     cfg["model"]["backbone"]["remat_train"] = False
 if os.environ.get("PNX_SPARSE_ALL"):
-    cfg["model"]["backbone"]["sparse_stages"] = "all"
+    cfg["model"]["backbone"]["sparse_stages_train"] = "all"
+    cfg["model"]["backbone"]["sparse_stages_eval"] = "all"
 model = builders.build_model(cfg["model"])
+from pillarnext_tpu.utils.synth import lidar_like_points
+
 rng = np.random.default_rng(0)
 pc = cfg["model"]["reader"]["pc_range"]
-pts = np.zeros((B, N, 5), np.float32)
-pts[..., 0] = rng.uniform(pc[0], pc[3], (B, N))
-pts[..., 1] = rng.uniform(pc[1], pc[4], (B, N))
-pts[..., 2] = rng.uniform(-3, 1, (B, N))
-pts[..., 3] = rng.uniform(0, 1, (B, N))
-mask = np.ones((B, N), bool)
+pts, mask = lidar_like_points(B, N, pc, seed=0)
 pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
 variables = jax.jit(model.init)(jax.random.PRNGKey(0), pts_j[:1], mask_j[:1])
 jax.block_until_ready(variables)

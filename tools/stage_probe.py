@@ -47,7 +47,8 @@ if os.environ.get("PNX_UNMASKED_TAIL"):
 if os.environ.get("PNX_APPROX_TOPK"):
     cfg["model"]["post_processing"]["approx_topk"] = True
 if os.environ.get("PNX_SPARSE_ALL"):
-    cfg["model"]["backbone"]["sparse_stages"] = "all"
+    cfg["model"]["backbone"]["sparse_stages_train"] = "all"
+    cfg["model"]["backbone"]["sparse_stages_eval"] = "all"
 if os.environ.get("PNX_PILLAR_CAP"):
     cfg["model"]["reader"]["pillar_capacity"] = int(os.environ["PNX_PILLAR_CAP"])
 model = builders.build_model(cfg["model"])
