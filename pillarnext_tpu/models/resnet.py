@@ -308,18 +308,23 @@ class SparseResNet(nn.Module):
     # 'leading': only the stride-1 prefix runs sparse (tail is [masked]
     # dense).  'all': the WHOLE backbone runs over compact tables — strided
     # stages use the set-dilating sparse conv, the image is densified only
-    # at the final (H/8) grid; no mask multiplies anywhere (their
-    # (B,H,W,1)-broadcast relayouts dominate the masked dense tail), and
-    # remat'ed tables are MBs instead of GBs.  Measured on v5e (flagship,
-    # B=2): train 'all' 599 ms vs 'leading'+masked 774 ms; eval 'leading'
-    # with an unmasked dense tail wins (75.6 ms vs 94.5 'all') because the
-    # dense tail convs are MXU-efficient where sparse gathers are not.
-    sparse_stages_train: str = "all"
+    # at the final (H/8) grid; no mask multiplies anywhere, remat'ed tables
+    # are MBs, and the train step measures ~23% faster (599 vs 774 ms at
+    # B=2 on v5e).  CAVEAT — 'all' is opt-in because a strided stage whose
+    # DILATED active set exceeds its stage capacity silently truncates the
+    # scene in ascending dense-id order (detected end-to-end as a spatial
+    # half-map dropout by tools/overfit_sanity.py): enable it only with
+    # stage_capacity_frac sized for your data's dilation growth (beam-
+    # clustered LiDAR dilates ~1.3x before the 4:1 merge; diffuse clutter
+    # up to 2.25x).  'leading' is overflow-safe by construction (stride-1
+    # stages never dilate).
+    sparse_stages_train: str = "leading"
     sparse_stages_eval: str = "leading"
     # per-stage compact capacities for sparse_stages='all' as fractions of
-    # the input capacity; active counts shrink ~2x per stride-2 stage (3x3
-    # dilation then 4:1 cell merge)
-    stage_capacity_frac: Sequence[float] = (1.0, 0.5, 0.25, 0.125)
+    # the input capacity, clamped to the stage's grid size.  Must cover the
+    # DILATED active set (see sparse_stages caveat); defaults assume beam-
+    # clustered LiDAR where counts shrink ~2x per stride-2 stage
+    stage_capacity_frac: Sequence[float] = (1.0, 1.0, 0.5, 0.25)
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -443,7 +448,11 @@ class SparseResNet(nn.Module):
                     name=f"stage_{i}",
                 )(table, valid, nbr, train)
             else:
-                cap_out = max(int(cap0 * float(self.stage_capacity_frac[i])), 4096)
+                out_hw = (spatial[0] + s - 1) // s * ((spatial[1] + s - 1) // s)
+                cap_out = min(
+                    max(int(cap0 * float(self.stage_capacity_frac[i])), 4096),
+                    batch * out_hw,
+                )
                 out_slot_id, out_sod, out_valid, out_sp = downsample_active_set(
                     slot_id, batch, spatial, (k, k), (s, s), cap_out
                 )
