@@ -206,7 +206,10 @@ class MVFFeatureNet(nn.Module):
             flat_valid, batch_idx * (hp * wp) + vp * wp + up, b * hp * wp
         )
         cap_p = min(self.pillar_capacity * b, hp * wp * b)
-        order, slot_p, slot_id_p = compactify(pid, b * hp * wp, cap_p)
+        order, slot_p, slot_id_p, n_p = compactify(pid, b * hp * wp, cap_p)
+        if not self.is_initializing():
+            self.sow("telemetry", "pillar_active", n_p)
+            self.sow("telemetry", "pillar_overflow", jnp.maximum(n_p - cap_p, 0))
 
         # reorder everything once by pillar order; the cylinder view uses an
         # unsorted segment reduction over the same ordering
@@ -229,7 +232,10 @@ class MVFFeatureNet(nn.Module):
             flat_valid, batch_idx * (hc * wc_) + vc * wc_ + uc, b * hc * wc_
         )
         cap_c = min(self.cylinder_capacity * b, hc * wc_ * b)
-        order_c, slot_c_sorted, slot_id_c = compactify(cid, b * hc * wc_, cap_c)
+        order_c, slot_c_sorted, slot_id_c, n_c = compactify(cid, b * hc * wc_, cap_c)
+        if not self.is_initializing():
+            self.sow("telemetry", "cylinder_active", n_c)
+            self.sow("telemetry", "cylinder_overflow", jnp.maximum(n_c - cap_c, 0))
         # cylinder slots in pillar-major point order (for fused features)
         slot_c = jnp.zeros_like(slot_c_sorted).at[order_c].set(slot_c_sorted)
 

@@ -108,8 +108,14 @@ class PillarFeatureNet(nn.Module):
         dense_ids = jnp.where(flat_valid, batch_idx * hw + local_sid, b * hw)
 
         # sort points by pillar, assign compact slots (dump slot = cap)
-        order, slot, slot_id = compactify(dense_ids, b * hw, cap)
+        order, slot, slot_id, n_pillars = compactify(dense_ids, b * hw, cap)
         num_segments = cap + 1
+        if not self.is_initializing():
+            # occupied-pillar count + overflow (pillars silently routed to
+            # the dump slot when capacity is undersized) — collected when
+            # the caller makes the "telemetry" collection mutable
+            self.sow("telemetry", "pillar_active", n_pillars)
+            self.sow("telemetry", "pillar_overflow", jnp.maximum(n_pillars - cap, 0))
 
         raw = points.reshape(-1, d).astype(jnp.float32)[order]
         xyz_s = raw[:, :3]

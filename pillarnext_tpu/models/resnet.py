@@ -453,9 +453,16 @@ class SparseResNet(nn.Module):
                     max(int(cap0 * float(self.stage_capacity_frac[i])), 4096),
                     batch * out_hw,
                 )
-                out_slot_id, out_sod, out_valid, out_sp = downsample_active_set(
-                    slot_id, batch, spatial, (k, k), (s, s), cap_out
+                out_slot_id, out_sod, out_valid, out_sp, n_out = downsample_active_set(
+                    sod, valid.shape[0], batch, spatial, (k, k), (s, s), cap_out
                 )
+                if not self.is_initializing():
+                    self.sow("telemetry", f"stage{i}_active", n_out)
+                    self.sow(
+                        "telemetry",
+                        f"stage{i}_overflow",
+                        jnp.maximum(n_out - cap_out, 0),
+                    )
                 nbr_fwd, nbr_rev = build_down_neighbor_tables(
                     sod, out_slot_id, out_sod, slot_id, batch, spatial,
                     (k, k), (s, s),
@@ -605,9 +612,14 @@ class SparseResNet3D(nn.Module):
                 # SparseConv DILATES the active set (up to the k^3 window)
                 # before 8-to-1 cell merging, so the count does not shrink
                 # monotonically; shrinking capacity here truncates sites
-                out_slot_id, out_sod, out_valid, out_sp = downsample_active_set(
-                    slot_id, batch, spatial, (k,) * 3, (s,) * 3, cap
+                out_slot_id, out_sod, out_valid, out_sp, n_out = downsample_active_set(
+                    sod, valid.shape[0], batch, spatial, (k,) * 3, (s,) * 3, cap
                 )
+                if not self.is_initializing():
+                    self.sow("telemetry", f"stage{i}_active", n_out)
+                    self.sow(
+                        "telemetry", f"stage{i}_overflow", jnp.maximum(n_out - cap, 0)
+                    )
                 nbr_fwd, nbr_rev = build_down_neighbor_tables(
                     sod, out_slot_id, out_sod, slot_id, batch, spatial,
                     (k,) * 3, (s,) * 3,
@@ -640,9 +652,12 @@ class SparseResNet3D(nn.Module):
                     )(table, valid, nbr, train)
 
         # extra z-downsample (3,1,1)/(2,1,1), padding 0 (sparse_resnet3d.py:43-46)
-        out_slot_id, out_sod, out_valid, out_sp = downsample_active_set(
-            slot_id, batch, spatial, (3, 1, 1), (2, 1, 1), cap, (0, 0, 0)
+        out_slot_id, out_sod, out_valid, out_sp, n_out = downsample_active_set(
+            sod, valid.shape[0], batch, spatial, (3, 1, 1), (2, 1, 1), cap, (0, 0, 0)
         )
+        if not self.is_initializing():
+            self.sow("telemetry", "extra_active", n_out)
+            self.sow("telemetry", "extra_overflow", jnp.maximum(n_out - cap, 0))
         nbr_fwd, nbr_rev = build_down_neighbor_tables(
             sod, out_slot_id, out_sod, slot_id, batch, spatial,
             (3, 1, 1), (2, 1, 1), (0, 0, 0),

@@ -47,7 +47,10 @@ class VoxelFeatureNet(nn.Module):
 
         if self.output == "sparse":
             cap = min(self.voxel_capacity * b, nvox * b)
-            order, slot, slot_id = compactify(seg, b * nvox, cap)
+            order, slot, slot_id, n_vox = compactify(seg, b * nvox, cap)
+            if not self.is_initializing():
+                self.sow("telemetry", "voxel_active", n_vox)
+                self.sow("telemetry", "voxel_overflow", jnp.maximum(n_vox - cap, 0))
             feats = points.reshape(-1, d).astype(jnp.float32)[order]
             valid_s = flat_valid[order]
             table = scatter.segment_mean(

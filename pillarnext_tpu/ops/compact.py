@@ -40,6 +40,9 @@ def compactify(
             point (``capacity`` = dump slot for invalid/overflow); ascending.
         slot_id: (capacity,) int32 — the original segment id of each slot
             (``invalid_id`` for unused slots).
+        n_unique: () int32 — TRUE number of occupied ids before the capacity
+            clamp; ``n_unique > capacity`` means overflow (sites silently
+            routed to the dump slot) — callers surface this as telemetry.
     """
     order = jnp.argsort(ids)
     sorted_ids = ids[order]
@@ -49,13 +52,14 @@ def compactify(
     )
     first = first & (sorted_ids != invalid_id)
     rank = jnp.cumsum(first.astype(jnp.int32)) - 1  # compact rank in id order
+    n_unique = rank[-1] + 1
     rank = jnp.where(
         (sorted_ids == invalid_id) | (rank >= capacity), capacity, rank
     )
 
     slot_id = jnp.full((capacity + 1,), invalid_id, jnp.int32)
     slot_id = slot_id.at[rank].set(sorted_ids, mode="drop")
-    return order, rank, slot_id[:capacity]
+    return order, rank, slot_id[:capacity], n_unique
 
 
 def invert_slot_map(

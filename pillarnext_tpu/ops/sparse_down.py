@@ -11,9 +11,10 @@ volume does not even fit HBM at config resolution.
 
 Pipeline per downsample (all static shapes, one XLA program):
 
-  1. ``downsample_active_set``: enumerate each active input site's candidate
-     parent outputs (<= ceil(k/s) per dim), compactify to the fixed-capacity
-     output table (ops/compact.py), invert to a dense->slot map.
+  1. ``downsample_active_set``: the dilated output set = max-pool of the
+     input occupancy bitmap; compact slots assigned in dense-id order by one
+     prefix-sum (sort-free — the earlier candidate-enumeration + argsort
+     formulation dominated the all-sparse backbone's on-chip time).
   2. ``build_down_neighbor_tables``: per output slot the K strided-tap input
      slots (forward), and per input slot the K output slots it feeds
      (reverse, for the custom VJP — autodiff would emit serializing
@@ -81,7 +82,8 @@ def out_spatial_for(spatial, kernel_shape, stride, padding=None):
 
 
 def downsample_active_set(
-    slot_id: jnp.ndarray,
+    slot_of_dense: jnp.ndarray,
+    cap_in: int,
     batch: int,
     in_spatial: tuple[int, ...],
     kernel_shape: tuple[int, ...],
@@ -91,38 +93,52 @@ def downsample_active_set(
 ):
     """Active OUTPUT set of a strided sparse conv.
 
-    Returns (out_slot_id (cap_out,), out_slot_of_dense (B*prod(out_sp),),
-    out_valid (cap_out,), out_spatial).
-    """
-    from pillarnext_tpu.ops.compact import compactify, invert_slot_map
+    TPU-native formulation (no sort): the dilated output set is exactly a
+    max-pool of the input occupancy bitmap (window = kernel, stride =
+    stride), and compact slots are assigned in ascending dense-id order by
+    one prefix-sum over the pooled bitmap.  The previous formulation
+    (enumerate ceil(k/s)^ndim candidate parents per active site, sort, dedup
+    — one argsort over 4x the capacity per stage) was the dominant cost of
+    the all-sparse backbone on chip.
 
+    Args:
+        slot_of_dense: (B * prod(in_spatial),) int32 dense -> slot map of the
+            INPUT set (``cap_in`` where empty) — only occupancy is used.
+        cap_in: the input table capacity (= the empty marker value).
+
+    Returns (out_slot_id (cap_out,), out_slot_of_dense (B*prod(out_sp),),
+    out_valid (cap_out,), out_spatial, n_out) — ``n_out`` is the TRUE dilated
+    active count; ``n_out > cap_out`` means sites were silently truncated
+    (callers must surface it as overflow telemetry).
+    """
     if padding is None:
         padding = tuple(k // 2 for k in kernel_shape)
     out_sp = out_spatial_for(in_spatial, kernel_shape, stride, padding)
     out_rows = batch * int(np.prod(out_sp))
-    ok_in, coords = _decode(slot_id, batch, in_spatial)
 
-    # candidate parent outputs per dim: o in [ceil((c+p-k+1)/s), floor((c+p)/s)]
-    cand_counts = [-(-k // s) for k, s in zip(kernel_shape, stride)]
-    cand_ids = []
-    for combo in itertools.product(*[range(n) for n in cand_counts]):
-        ok = ok_in
-        oc = [coords[0]]
-        for i, (k, s) in enumerate(zip(kernel_shape, stride)):
-            p = padding[i]
-            top = (coords[i + 1] + p) // s
-            o = top - combo[i]
-            # window check: 0 <= c - (s*o - p) <= k-1
-            ok = ok & (coords[i + 1] - (o * s - p) >= 0) & (
-                coords[i + 1] - (o * s - p) <= k - 1
-            )
-            oc.append(o)
-        cand_ids.append(_encode(oc, ok, batch, out_sp, out_rows))
-    ids = jnp.concatenate(cand_ids).astype(jnp.int32)
+    in_mask = (slot_of_dense < cap_in).astype(jnp.int32).reshape(batch, *in_spatial)
+    out_mask = jax.lax.reduce_window(
+        in_mask,
+        jnp.array(0, jnp.int32),
+        jax.lax.max,
+        (1, *kernel_shape),
+        (1, *stride),
+        ((0, 0), *[(p, p) for p in padding]),
+    ).reshape(-1)
 
-    _, _, out_slot_id = compactify(ids, out_rows, cap_out)
-    out_sod, out_valid = invert_slot_map(out_slot_id, out_rows, cap_out)
-    return out_slot_id, out_sod, out_valid, out_sp
+    slots = jnp.cumsum(out_mask) - 1  # ascending dense-id slot per occupied cell
+    n_out = slots[-1] + 1
+    occupied = (out_mask > 0) & (slots < cap_out)
+    out_sod = jnp.where(occupied, slots, cap_out).astype(jnp.int32)
+
+    # slot -> dense id: scatter (unique indices; overflow/empty rows dropped)
+    idx = jnp.where(occupied, slots, cap_out + 1)
+    out_slot_id = jnp.full((cap_out + 1,), out_rows, jnp.int32)
+    out_slot_id = out_slot_id.at[idx].set(
+        jnp.arange(out_rows, dtype=jnp.int32), mode="drop", unique_indices=True
+    )[:cap_out]
+    out_valid = out_slot_id < out_rows
+    return out_slot_id, out_sod, out_valid, out_sp, n_out
 
 
 def build_down_neighbor_tables(

@@ -28,6 +28,31 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def flatten_telemetry(tel) -> dict:
+    """Flax 'telemetry' collection (nested module dicts of sown 1-tuples) ->
+    flat {leaf_name: scalar}.  Names are unique across the model (readers/
+    backbones use distinct keys), so the module path is dropped."""
+    flat = {}
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    walk(v)
+                else:
+                    seq = v if isinstance(v, (tuple, list)) else (v,)
+                    flat[k] = seq[0] if len(seq) == 1 else jnp.stack(seq).max()
+
+    walk(tel)
+    return flat
+
+
+def overflow_total(tel_flat: dict):
+    """Sum of all *_overflow counters (0 when the model sows none)."""
+    vals = [v for k, v in tel_flat.items() if k.endswith("_overflow")]
+    return sum(vals) if vals else jnp.zeros((), jnp.int32)
+
+
 def make_optimizer(
     max_lr: float,
     total_steps: int,
@@ -87,16 +112,19 @@ def make_train_step(model, tx, mesh, donate: bool = True, accum_steps: int = 1) 
                 batch,
                 train=True,
                 method=model.loss,
-                mutable=["batch_stats"],
+                mutable=["batch_stats", "telemetry"],
             )
-            return loss, (logs, mutated["batch_stats"])
+            tel = flatten_telemetry(mutated.get("telemetry", {}))
+            return loss, (logs, mutated["batch_stats"], tel)
 
-        (loss, (logs, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        return loss, logs, new_bs, grads
+        (loss, (logs, new_bs, tel)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        return loss, logs, new_bs, tel, grads
 
     def step_fn(state: TrainState, batch) -> tuple[TrainState, Any]:
         if accum_steps == 1:
-            loss, logs, new_bs, grads = loss_and_grad(
+            loss, logs, new_bs, tel, grads = loss_and_grad(
                 state.params, state.batch_stats, batch
             )
         else:
@@ -110,16 +138,17 @@ def make_train_step(model, tx, mesh, donate: bool = True, accum_steps: int = 1) 
 
             def scan_body(carry, mb):
                 bs, acc, loss_acc = carry
-                loss, logs, nbs, grads = loss_and_grad(state.params, bs, mb)
+                loss, logs, nbs, tel, grads = loss_and_grad(state.params, bs, mb)
                 acc = jax.tree.map(jnp.add, acc, grads)
-                return (nbs, acc, loss_acc + loss), logs
+                return (nbs, acc, loss_acc + loss), (logs, tel)
 
-            (new_bs, grads, loss_sum), logs = jax.lax.scan(
+            (new_bs, grads, loss_sum), (logs, tel) = jax.lax.scan(
                 scan_body, (state.batch_stats, grads0, 0.0), micro
             )
             grads = jax.tree.map(lambda g: g / accum_steps, grads)
             loss = loss_sum / accum_steps
             logs = jax.tree.map(lambda x: x.mean(axis=0), logs)
+            tel = jax.tree.map(lambda x: x.max(axis=0), tel)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -129,7 +158,15 @@ def make_train_step(model, tx, mesh, donate: bool = True, accum_steps: int = 1) 
             batch_stats=new_bs,
             opt_state=new_opt,
         )
-        scalar_logs = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        scalar_logs = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            # capacity telemetry: any nonzero *_overflow means active sites
+            # were silently dropped this step (undersized pillar_capacity /
+            # stage capacity) — the trainer raises on it
+            "overflow": overflow_total(tel),
+            "telemetry": tel,
+        }
         return new_state, (scalar_logs, logs)
 
     # shardings are inferred from input placement: state arrives replicated,
@@ -141,9 +178,12 @@ def make_train_step(model, tx, mesh, donate: bool = True, accum_steps: int = 1) 
 
 def make_eval_step(model, mesh) -> Callable:
     """Compiled predict step: variables (replicated), batch (data-sharded) ->
-    fixed-size detections."""
+    (fixed-size detections, flat capacity-telemetry dict)."""
 
     def step_fn(variables, batch):
-        return model.apply(variables, batch, method=model.predict)
+        dets, mutated = model.apply(
+            variables, batch, method=model.predict, mutable=["telemetry"]
+        )
+        return dets, flatten_telemetry(mutated.get("telemetry", {}))
 
     return jax.jit(step_fn)

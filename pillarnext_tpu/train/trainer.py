@@ -117,6 +117,7 @@ class Trainer:
         self.train_dataloader.set_epoch(self.epoch)
         num_iters = len(self.train_dataloader)
         t_start = time.time()
+        scalars = None
         timer = profiling.StepTimer(window=self.log_every_niters)
         # trace a few steady-state steps (skip compile) on the first epoch
         trace_steps = range(3, 6) if (self.profile_dir and self.epoch == 0) else None
@@ -147,8 +148,40 @@ class Trainer:
                     timer.mean * 1000,
                 )
                 self.logger.info(format_log_dict(jax.tree.map(np.asarray, logs)))
+                self._check_overflow(scalars, f"epoch {self.epoch + 1} iter {i + 1}")
+        # re-check on the epoch's final step so overflow between log ticks
+        # still fails the epoch before the checkpoint is written
+        self._check_overflow(scalars, f"epoch {self.epoch + 1} end")
         self.epoch += 1
         ckpt_lib.save_checkpoint(self.work_dir / "checkpoints", self.epoch, self.state)
+
+    def _check_overflow(self, scalars, where: str):
+        """Fail loudly when capacity telemetry reports dropped active sites
+        (sampled at log ticks + epoch end — overflow is a property of the
+        data distribution vs. static capacities, so it persists across
+        steps rather than flickering).  An undersized ``pillar_capacity`` or
+        ``stage_capacity_frac`` would otherwise silently truncate the scene
+        (spconv never drops sites, reference sparse_resnet.py:50-68)."""
+        if scalars is None or "overflow" not in scalars:
+            return
+        if int(scalars["overflow"]) == 0:
+            return
+        detail = {
+            k: int(v)
+            for k, v in scalars.get("telemetry", {}).items()
+            if k.endswith("_overflow") and int(v) > 0
+        }
+        active = {
+            k: int(v)
+            for k, v in scalars.get("telemetry", {}).items()
+            if k.endswith("_active")
+        }
+        raise RuntimeError(
+            f"capacity overflow at {where}: {detail} active sites were "
+            f"silently dropped (true active counts: {active}). Raise "
+            "reader pillar/voxel capacity or backbone stage_capacity_frac "
+            "to cover the data's dilated active sets."
+        )
 
     # ------------------------------------------------------------------ eval
 
@@ -159,12 +192,26 @@ class Trainer:
         bar = (
             progress.ProgressBar(len(self.val_dataloader)) if self.rank == 0 else None
         )
+        warned_overflow = False
         for batch in self.val_dataloader:
             tokens = batch["token"]
             example = {k: v for k, v in batch.items() if k != "token"}
             example = mesh_lib.shard_batch(example, self.mesh)
-            dets = self._eval_step(variables, example)
+            dets, tel = self._eval_step(variables, example)
             dets = jax.tree.map(np.asarray, dets)
+            if not warned_overflow:
+                over = {
+                    k: int(v)
+                    for k, v in tel.items()
+                    if k.endswith("_overflow") and int(v) > 0
+                }
+                if over:
+                    self.logger.warning(
+                        "eval capacity overflow (sites dropped, predictions "
+                        "degraded): %s — raise capacities for trustworthy "
+                        "metrics", over,
+                    )
+                    warned_overflow = True
             if bar is not None:
                 bar.update()
             for bi, token in enumerate(tokens):

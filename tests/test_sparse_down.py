@@ -24,7 +24,7 @@ def _scene_3d(rng, b, spatial, cin, n_active, cap):
     rows = b * int(np.prod(spatial))
     ids = rng.choice(rows, size=n_active, replace=False).astype(np.int32)
     pad = np.full((cap - n_active,), rows, np.int32)
-    _, _, slot_id = compactify(jnp.asarray(np.concatenate([ids, pad])), rows, cap)
+    _, _, slot_id, _ = compactify(jnp.asarray(np.concatenate([ids, pad])), rows, cap)
     sod, valid = invert_slot_map(slot_id, rows, cap)
     feats = rng.normal(size=(cap, cin)).astype(np.float32)
     feats[~np.asarray(valid)] = 0.0
@@ -80,8 +80,8 @@ def test_strided_conv_matches_dense_oracle(spatial, kshape, stride, padding):
     feats, valid, sod, slot_id = _scene_3d(rng, b, spatial, cin, n_active, cap_in)
     kernel = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32) * 0.3)
 
-    out_slot_id, out_sod, out_valid, out_sp = downsample_active_set(
-        slot_id, b, spatial, kshape, stride, cap_out, padding
+    out_slot_id, out_sod, out_valid, out_sp, _ = downsample_active_set(
+        sod, cap_in, b, spatial, kshape, stride, cap_out, padding
     )
     assert out_sp == out_spatial_for(spatial, kshape, stride, padding)
     nbr_fwd, nbr_rev = build_down_neighbor_tables(
@@ -110,8 +110,8 @@ def test_strided_conv_custom_vjp_matches_dense_grads():
 
     feats, valid, sod, slot_id = _scene_3d(rng, b, spatial, cin, n_active, cap_in)
     kernel = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32) * 0.3)
-    out_slot_id, out_sod, out_valid, out_sp = downsample_active_set(
-        slot_id, b, spatial, kshape, stride, cap_out
+    out_slot_id, out_sod, out_valid, out_sp, _ = downsample_active_set(
+        sod, cap_in, b, spatial, kshape, stride, cap_out
     )
     nbr_fwd, nbr_rev = build_down_neighbor_tables(
         sod, out_slot_id, out_sod, slot_id, b, spatial, kshape, stride

@@ -25,7 +25,7 @@ def _random_scene(rng, b, h, w, cin, n_active, cap):
     ids = rng.choice(b * hw, size=n_active, replace=False).astype(np.int32)
     pad = np.full((cap - n_active,), b * hw, np.int32)
     all_ids = jnp.asarray(np.concatenate([ids, pad]))
-    order, slot, slot_id = compactify(all_ids, b * hw, cap)
+    order, slot, slot_id, _ = compactify(all_ids, b * hw, cap)
 
     feats = rng.normal(size=(cap, cin)).astype(np.float32)
     valid = np.asarray(slot_id) < b * hw
@@ -114,7 +114,7 @@ def test_neighbor_table_3d_center_tap_is_self():
     all_ids = jnp.asarray(
         np.concatenate([ids, np.full((cap - 20,), d * h * w, np.int32)])
     )
-    order, slot, slot_id = compactify(all_ids, d * h * w, cap)
+    order, slot, slot_id, _ = compactify(all_ids, d * h * w, cap)
     valid = np.asarray(slot_id) < d * h * w
     shadow = d * h * w + np.arange(cap, dtype=np.int32)
     target = np.where(valid, np.asarray(slot_id), shadow)

