@@ -451,14 +451,17 @@ class CenterHead(nn.Module):
 
             # candidate selection FIRST, then gather only candidate boxes —
             # the (B*C, HW, 9) broadcast would cost ~40 MB/task of HBM
-            # traffic before NMS even starts.  approx_topk swaps the exact
-            # per-lane sort for TPU-native approx_max_k (recall ~0.95 on the
-            # lowest-scoring tail of candidates; off by default).
+            # traffic before NMS even starts.  The exact path is a radix
+            # select (ops/topk.py) — bit-identical to lax.top_k at a
+            # fraction of its full-lane-sort cost; approx_topk (legacy,
+            # off) swaps it for approx_max_k (recall ~0.95 on the tail).
             pre_cap = min(pre, h * w)
             if test_cfg.get("approx_topk", False):
                 cand_scores, cand_idx = jax.lax.approx_max_k(lane_scores, pre_cap)
             else:
-                cand_scores, cand_idx = jax.lax.top_k(lane_scores, pre_cap)
+                from pillarnext_tpu.ops.topk import exact_top_k
+
+                cand_scores, cand_idx = exact_top_k(lane_scores, pre_cap)
             idx_b = cand_idx.reshape(b, num_cls * pre_cap)
             cand_boxes = jax.vmap(lambda bx, ix: bx[ix])(boxes9, idx_b).reshape(
                 b * num_cls, pre_cap, 9

@@ -310,15 +310,16 @@ class SparseResNet(nn.Module):
     # stages use the set-dilating sparse conv, the image is densified only
     # at the final (H/8) grid; no mask multiplies anywhere, remat'ed tables
     # are MBs, and the train step measures ~23% faster (599 vs 774 ms at
-    # B=2 on v5e).  CAVEAT — 'all' is opt-in because a strided stage whose
-    # DILATED active set exceeds its stage capacity silently truncates the
-    # scene in ascending dense-id order (detected end-to-end as a spatial
-    # half-map dropout by tools/overfit_sanity.py): enable it only with
-    # stage_capacity_frac sized for your data's dilation growth (beam-
-    # clustered LiDAR dilates ~1.3x before the 4:1 merge; diffuse clutter
-    # up to 2.25x).  'leading' is overflow-safe by construction (stride-1
-    # stages never dilate).
-    sparse_stages_train: str = "leading"
+    # B=2 on v5e; the round-3 sort-free dilation widens this).  TRAIN
+    # defaults to 'all': a strided stage whose DILATED active set exceeds
+    # its stage capacity now FAILS LOUDLY (overflow telemetry sown below;
+    # the Trainer raises) instead of silently truncating the scene — size
+    # stage_capacity_frac for your data's dilation growth (beam-clustered
+    # LiDAR dilates ~1.3x before the 4:1 merge; diffuse clutter up to
+    # 2.25x).  EVAL defaults to 'leading': at eval the masked-dense tail's
+    # large-grid convs are MXU-bound and beat capacity-sized gather convs
+    # (measured 55 vs 96 ms features at B=1 flagship).
+    sparse_stages_train: str = "all"
     sparse_stages_eval: str = "leading"
     # per-stage compact capacities for sparse_stages='all' as fractions of
     # the input capacity, clamped to the stage's grid size.  Must cover the

@@ -14,6 +14,27 @@ from typing import Any
 from pillarnext_tpu.utils.config import instantiate
 
 
+def enable_compile_cache(jax_module=None) -> None:
+    """Persistent XLA compile cache for the CLIs: ``./.jax_cache`` when
+    running from a repo checkout (ships warmed), else
+    ``~/.cache/pillarnext_tpu/jax_cache``.  First compiles of the BEV models
+    cost minutes through remote-TPU runtimes; the cache cuts reruns to
+    seconds."""
+    from pathlib import Path
+
+    if jax_module is None:
+        import jax as jax_module
+    local = Path.cwd() / ".jax_cache"
+    cache = (
+        local
+        if local.exists()
+        else Path.home() / ".cache" / "pillarnext_tpu" / "jax_cache"
+    )
+    cache.mkdir(parents=True, exist_ok=True)
+    jax_module.config.update("jax_compilation_cache_dir", str(cache))
+    jax_module.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
 def build_model(model_cfg: dict):
     """Instantiate the detector flax module from the resolved model config.
 
