@@ -400,12 +400,8 @@ class CenterHead(nn.Module):
         for task_id, preds in enumerate(preds_dicts):
             b, h, w, num_cls = preds["hm"].shape
             hm = jax.nn.sigmoid(preds["hm"].astype(jnp.float32)).reshape(b, h * w, num_cls)
-            dim = jnp.exp(preds["dim"].astype(jnp.float32)).reshape(b, h * w, 3)
-            rot = preds["rot"].astype(jnp.float32).reshape(b, h * w, 2)
-            yaw = jnp.arctan2(rot[..., 0:1], rot[..., 1:2])
             reg = preds["reg"].astype(jnp.float32).reshape(b, h * w, 2)
             hei = preds["height"].astype(jnp.float32).reshape(b, h * w, 1)
-            vel = preds["vel"].astype(jnp.float32).reshape(b, h * w, 2)
             if "iou" in preds:
                 iou = (preds["iou"].astype(jnp.float32).reshape(b, h * w) + 1.0) * 0.5
             else:
@@ -416,13 +412,12 @@ class CenterHead(nn.Module):
             factor = float(test_cfg["out_size_factor"][task_id])
             xs = (cols[None, :, None] + reg[..., 0:1]) * factor * test_cfg["voxel_size"][0] + test_cfg["pc_range"][0]
             ys = (rows[None, :, None] + reg[..., 1:2]) * factor * test_cfg["voxel_size"][1] + test_cfg["pc_range"][1]
-
-            boxes9 = jnp.concatenate([xs, ys, hei, dim, vel, yaw], axis=-1)
+            pos3 = jnp.concatenate([xs, ys, hei], axis=-1)  # (B, HW, 3)
 
             scores = hm.max(axis=-1)
             labels = hm.argmax(axis=-1)
-            in_range = jnp.all(boxes9[..., :3] >= post_range[:3], axis=-1) & jnp.all(
-                boxes9[..., :3] <= post_range[3:], axis=-1
+            in_range = jnp.all(pos3 >= post_range[:3], axis=-1) & jnp.all(
+                pos3 <= post_range[3:], axis=-1
             )
             score_ok = scores > float(test_cfg["score_threshold"])
             base_valid = in_range & score_ok
@@ -449,12 +444,14 @@ class CenterHead(nn.Module):
                 jnp.asarray(nms_cfg["nms_iou_threshold"][task_id], jnp.float32), b
             )
 
-            # candidate selection FIRST, then gather only candidate boxes —
-            # the (B*C, HW, 9) broadcast would cost ~40 MB/task of HBM
-            # traffic before NMS even starts.  The exact path is a radix
-            # select (ops/topk.py) — bit-identical to lax.top_k at a
-            # fraction of its full-lane-sort cost; approx_topk (legacy,
-            # off) swaps it for approx_max_k (recall ~0.95 on the tail).
+            # candidate selection FIRST, then decode only candidates — the
+            # full (B, HW, 9) decode (exp, arctan2, 9-ch concat over the
+            # whole heatmap) and the (B*C, HW, 9) broadcast both commute
+            # with the gather, so everything past pos3 runs on 1000 rows
+            # per lane instead of 113k.  The exact path is a radix select
+            # (ops/topk.py) — bit-identical to lax.top_k at a fraction of
+            # its full-lane-sort cost; approx_topk (legacy, off) swaps it
+            # for approx_max_k (recall ~0.95 on the tail).
             pre_cap = min(pre, h * w)
             if test_cfg.get("approx_topk", False):
                 cand_scores, cand_idx = jax.lax.approx_max_k(lane_scores, pre_cap)
@@ -463,9 +460,20 @@ class CenterHead(nn.Module):
 
                 cand_scores, cand_idx = exact_top_k(lane_scores, pre_cap)
             idx_b = cand_idx.reshape(b, num_cls * pre_cap)
-            cand_boxes = jax.vmap(lambda bx, ix: bx[ix])(boxes9, idx_b).reshape(
-                b * num_cls, pre_cap, 9
+
+            def gather_b(dense, ix=idx_b):
+                return jax.vmap(lambda d, i: d[i])(dense, ix)
+
+            c_pos3 = gather_b(pos3)
+            c_dim = jnp.exp(
+                gather_b(preds["dim"].astype(jnp.float32).reshape(b, h * w, 3))
             )
+            c_rot = gather_b(preds["rot"].astype(jnp.float32).reshape(b, h * w, 2))
+            c_yaw = jnp.arctan2(c_rot[..., 0:1], c_rot[..., 1:2])
+            c_vel = gather_b(preds["vel"].astype(jnp.float32).reshape(b, h * w, 2))
+            cand_boxes = jnp.concatenate(
+                [c_pos3, c_dim, c_vel, c_yaw], axis=-1
+            ).reshape(b * num_cls, pre_cap, 9)
 
             def run_one(boxes_s, scores_s, th):
                 if nms_type == "circle":
@@ -474,10 +482,13 @@ class CenterHead(nn.Module):
                 return nms_lib.rotated_nms(nms_boxes, scores_s, th, pre_cap, post)
 
             sel_c, sel_valid = jax.vmap(run_one)(cand_boxes, cand_scores, lane_thresh)
-            # map candidate-row indices back to flat H*W positions
+            # outputs gather from the candidate rows (per (batch, class) lane)
+            sel_boxes = jnp.take_along_axis(
+                cand_boxes, sel_c[..., None], axis=1
+            ).reshape(b, num_cls * post, 9)
             sel = jnp.take_along_axis(cand_idx, sel_c, axis=1).reshape(b, num_cls * post)
             sel_valid = sel_valid.reshape(b, num_cls * post)
-            all_boxes.append(jnp.take_along_axis(boxes9, sel[..., None], axis=1))
+            all_boxes.append(sel_boxes)
             all_scores.append(jnp.take_along_axis(rect_scores, sel, axis=1))
             all_labels.append(
                 jnp.broadcast_to(

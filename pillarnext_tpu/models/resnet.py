@@ -35,6 +35,7 @@ from pillarnext_tpu.ops.sparse_bev import SparseBEV
 from pillarnext_tpu.ops.sparse_down import (
     build_down_neighbor_tables,
     downsample_active_set,
+    out_spatial_for,
     sparse_strided_conv,
 )
 from pillarnext_tpu.ops.subm_conv import (
@@ -392,6 +393,18 @@ class SparseResNet(nn.Module):
             if train and self.remat_train
             else _Stage
         )
+        def full_mask(m, channels):
+            # pre-broadcast the (B, H, W, 1) active-set mask to the stage's
+            # full channel count, materialized ONCE (optimization_barrier
+            # stops XLA re-fusing the broadcast into every conv epilogue):
+            # the lane-broadcast multiply of a 1-channel mask relayouts the
+            # activation around every conv (~3.6 ms/conv at 1344^2 x 64 on
+            # v5e, tools/maskvar_probe.py) while a full-channel multiply is
+            # ~free (+0.6 ms across five convs)
+            return jax.lax.optimization_barrier(
+                jnp.broadcast_to(m, (*m.shape[:-1], channels))
+            )
+
         for i in range(start, len(self.layer_nums)):
             if mask is not None and self.ds_layer_strides[i] > 1:
                 # strided SparseConv dilates the active set (output site is
@@ -415,7 +428,7 @@ class SparseResNet(nn.Module):
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 name=f"stage_{i}",
-            )(x, train, mask)
+            )(x, train, None if mask is None else full_mask(mask, self.ds_num_filters[i]))
         x = ConvBlock(
             self.out_channels,
             kernel_size=1,
@@ -423,7 +436,7 @@ class SparseResNet(nn.Module):
             bn_momentum=BN_MOMENTUM_SPARSE,
             axis_name=self.axis_name,
             dtype=self.dtype,
-        )(x, train, mask)
+        )(x, train, None if mask is None else full_mask(mask, self.out_channels))
         return x
 
     def _all_sparse(self, sb: SparseBEV, train: bool):
@@ -514,6 +527,16 @@ class SparseResNet3D(nn.Module):
     num_input_features: int
     kernel_size: Sequence[int] = (3, 3, 3, 3)
     out_channels: int = 128
+    # per-stage compact capacity as a fraction of the reader capacity (sparse
+    # path; + one entry for the extra z-downsample).  Every gather conv costs
+    # O(capacity) regardless of the active count, so carrying the reader
+    # capacity through all stages (the pre-round-3 behavior, = all-1.0) makes
+    # the deep wide stages 4-8x more expensive than their active sets need.
+    # A strided SparseConv first DILATES the set (<= k^3 x) then merges 8:1
+    # cells, so per-stage counts shrink ~2x on LiDAR data; defaults keep
+    # ~1.6x headroom over that.  Undersized capacities FAIL LOUDLY via the
+    # overflow telemetry (the Trainer raises) — never silent truncation.
+    stage_capacity_frac: Sequence[float] = (1.0, 0.625, 0.3125, 0.15625, 0.15625)
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -609,12 +632,15 @@ class SparseResNet3D(nn.Module):
             k, s = self.kernel_size[i], self.ds_layer_strides[i]
             f = self.ds_num_filters[i]
             if s > 1:
-                # capacity stays constant through downsamples: a strided
-                # SparseConv DILATES the active set (up to the k^3 window)
-                # before 8-to-1 cell merging, so the count does not shrink
-                # monotonically; shrinking capacity here truncates sites
+                cap_out = min(
+                    max(int(cap * float(self.stage_capacity_frac[i])), 4096),
+                    batch
+                    * int(
+                        np.prod(out_spatial_for(spatial, (k,) * 3, (s,) * 3))
+                    ),
+                )
                 out_slot_id, out_sod, out_valid, out_sp, n_out = downsample_active_set(
-                    sod, valid.shape[0], batch, spatial, (k,) * 3, (s,) * 3, cap
+                    sod, valid.shape[0], batch, spatial, (k,) * 3, (s,) * 3, cap_out
                 )
                 if not self.is_initializing():
                     self.sow("telemetry", f"stage{i}_active", n_out)
@@ -636,7 +662,7 @@ class SparseResNet3D(nn.Module):
                 valid, sod, slot_id, spatial = out_valid, out_sod, out_slot_id, out_sp
             else:
                 nbr0 = build_neighbor_table(
-                    sod, slot_id, spatial, subm_offsets_3d(k), cap
+                    sod, slot_id, spatial, subm_offsets_3d(k), valid.shape[0]
                 )
                 table = conv_cls(
                     f, k, ndim=3, axis_name=self.axis_name, dtype=self.dtype,
@@ -644,7 +670,7 @@ class SparseResNet3D(nn.Module):
                 )(table, valid, nbr0, train)
             if num_blocks:
                 nbr = build_neighbor_table(
-                    sod, slot_id, spatial, subm_offsets_3d(k), cap
+                    sod, slot_id, spatial, subm_offsets_3d(k), valid.shape[0]
                 )
                 for j in range(num_blocks):
                     table = res_cls(
@@ -653,8 +679,17 @@ class SparseResNet3D(nn.Module):
                     )(table, valid, nbr, train)
 
         # extra z-downsample (3,1,1)/(2,1,1), padding 0 (sparse_resnet3d.py:43-46)
+        extra_frac = float(
+            self.stage_capacity_frac[len(self.layer_nums)]
+            if len(self.stage_capacity_frac) > len(self.layer_nums)
+            else self.stage_capacity_frac[-1]
+        )
+        cap_extra = min(
+            max(int(cap * extra_frac), 4096),
+            batch * int(np.prod(out_spatial_for(spatial, (3, 1, 1), (2, 1, 1), (0, 0, 0)))),
+        )
         out_slot_id, out_sod, out_valid, out_sp, n_out = downsample_active_set(
-            sod, valid.shape[0], batch, spatial, (3, 1, 1), (2, 1, 1), cap, (0, 0, 0)
+            sod, valid.shape[0], batch, spatial, (3, 1, 1), (2, 1, 1), cap_extra, (0, 0, 0)
         )
         if not self.is_initializing():
             self.sow("telemetry", "extra_active", n_out)
