@@ -121,13 +121,63 @@ def subm_conv(table: jnp.ndarray, nbr: jnp.ndarray, kernel: jnp.ndarray, precisi
     return _subm_fwd_impl(table, nbr, kernel, precision)
 
 
+def _inline_tap_masks(nbr, cap):
+    """Validity masks for the dx=+-1 taps of the center spatial row.
+
+    Because compact slots are assigned in ascending dense row-major order
+    (ops/compact.py:47-62), the dense cell one column to the right of slot
+    ``j``'s cell — IF active — is always slot ``j + 1`` (no dense id lies
+    between d and d+1).  So the (.,0,+1) tap is a roll instead of a gather;
+    the mask checks the neighbor table agrees (it is ``cap`` at grid edges
+    and where the cell is empty).
+    """
+    k = nbr.shape[1]
+    c = k // 2
+    ar = jnp.arange(cap, dtype=nbr.dtype)
+    mr = (nbr[:, c + 1] == ar + 1) & (ar + 1 < cap)
+    ml = nbr[:, c - 1] == ar - 1
+    # center tap: self-reference iff the slot is real (cap for unused slots)
+    # — masking keeps outputs/grads exactly zero at unused rows even when
+    # the input's unused rows are nonzero (e.g. cotangents in the VJP)
+    mc = nbr[:, c] == ar
+    return mr[:, None], ml[:, None], mc[:, None]
+
+
 def _subm_fwd_impl(table, nbr, kernel, precision):
+    """Tap-decomposed SubM conv: 3 of K taps need no gather.
+
+    XLA's row gather runs at a fixed ~230M rows/s descriptor rate (measured
+    tools/pallas_gather_probe.py lineage); gathering all K taps costs
+    ~2.9 ms/conv at the flagship stage-0 shape.  The center tap is the
+    identity and the two dx=+-1 taps of the center row are rolls of the
+    slot-ordered table, so only K-3 taps are gathered: 1.67 ms/conv
+    measured — same math, bit-exact.
+    """
     cap, k = nbr.shape
     cin = table.shape[-1]
-    x = table[nbr.reshape(-1)].reshape(cap, k * cin)
-    return jax.lax.dot(
-        x, kernel.reshape(k * cin, -1).astype(table.dtype), precision=precision
+    c = k // 2
+    kern = kernel.reshape(k, cin, -1).astype(table.dtype)
+    xa = table[:cap]
+    if k == 1:  # 1x1 SubM conv: center tap only
+        ar = jnp.arange(cap, dtype=nbr.dtype)
+        mc = (nbr[:, 0] == ar)[:, None].astype(table.dtype)
+        return jax.lax.dot(xa * mc, kern[0], precision=precision)
+    mr, ml, mc = _inline_tap_masks(nbr, cap)
+    y = jax.lax.dot(xa * mc.astype(table.dtype), kern[c], precision=precision)
+    y = y + jax.lax.dot(
+        jnp.roll(xa, -1, 0) * mr.astype(table.dtype), kern[c + 1], precision=precision
     )
+    y = y + jax.lax.dot(
+        jnp.roll(xa, 1, 0) * ml.astype(table.dtype), kern[c - 1], precision=precision
+    )
+    rest = [t for t in range(k) if t not in (c - 1, c, c + 1)]
+    x = table[nbr[:, jnp.array(rest)].reshape(-1)].reshape(cap, len(rest) * cin)
+    y = y + jax.lax.dot(
+        x,
+        kernel[jnp.array(rest)].reshape(len(rest) * cin, -1).astype(table.dtype),
+        precision=precision,
+    )
+    return y
 
 
 def _subm_fwd(table, nbr, kernel, precision):
@@ -144,12 +194,31 @@ def _subm_bwd(precision, res, g):
     # Operands stay in their storage dtype with f32 ACCUMULATION, and the
     # contraction runs over x's leading axis directly — an explicit x.T (or
     # f32 pre-cast) materializes a (cap, K*Cin) copy per conv (243 MB at the
-    # voxel18 capacity; OOMed the full-scale train step).
-    x = table[nbr.reshape(-1)].reshape(cap, k * cin)
-    dk = jax.lax.dot_general(
-        x, g, (((0,), (0,)), ((), ())),
-        precision=precision, preferred_element_type=jnp.float32,
-    ).reshape(k, cin, cout)
+    # voxel18 capacity; OOMed the full-scale train step).  Tap-decomposed
+    # like the forward: the center/roll taps need no gather.
+    c = k // 2
+    xa = table[:cap]
+
+    def _dk(x_tap):
+        return jax.lax.dot_general(
+            x_tap, g, (((0,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+
+    if k == 1:
+        ar = jnp.arange(cap, dtype=nbr.dtype)
+        mc = (nbr[:, 0] == ar)[:, None].astype(table.dtype)
+        dk = _dk(xa * mc).reshape(1, cin, cout)
+    else:
+        rest = [t for t in range(k) if t not in (c - 1, c, c + 1)]
+        mr, ml, mc = _inline_tap_masks(nbr, cap)
+        x = table[nbr[:, jnp.array(rest)].reshape(-1)].reshape(cap, len(rest) * cin)
+        dk_rest = _dk(x).reshape(len(rest), cin, cout)
+        dk = jnp.zeros((k, cin, cout), jnp.float32)
+        dk = dk.at[jnp.array(rest)].set(dk_rest)
+        dk = dk.at[c].set(_dk(xa * mc.astype(table.dtype)))
+        dk = dk.at[c + 1].set(_dk(jnp.roll(xa, -1, 0) * mr.astype(table.dtype)))
+        dk = dk.at[c - 1].set(_dk(jnp.roll(xa, 1, 0) * ml.astype(table.dtype)))
 
     # dx: mirrored-transposed SubM conv of g over the same active set
     g_pad = jnp.concatenate([g, jnp.zeros((1, cout), g.dtype)], axis=0)

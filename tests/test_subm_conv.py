@@ -94,7 +94,11 @@ def test_subm_conv_custom_vjp_matches_autodiff():
     table = jnp.concatenate([feats, jnp.zeros((1, cin))], axis=0)
     out_n, vjp_n = jax.vjp(naive, table, kernel)
     out_c, vjp_c = jax.vjp(custom, table, kernel)
-    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_c), rtol=1e-5)
+    # rtol 1e-4: the tap-decomposed forward sums taps in a different order
+    # than the fused (cap, 9*cin) matmul — f32 reassociation noise only
+    np.testing.assert_allclose(
+        np.asarray(out_n), np.asarray(out_c), rtol=1e-4, atol=1e-6
+    )
 
     dt_n, dk_n = vjp_n(cot)
     dt_c, dk_c = vjp_c(cot)
