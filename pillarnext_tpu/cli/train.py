@@ -24,11 +24,19 @@ from pathlib import Path
 
 
 def setup_logging(rank: int) -> logging.Logger:
-    logging.basicConfig(
-        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
-        level=logging.INFO if rank == 0 else logging.ERROR,
-    )
-    return logging.getLogger("pillarnext_tpu")
+    # own handler on the package logger: absl (pulled in by jax/orbax)
+    # installs a root handler at import, which makes basicConfig a no-op
+    # and swallows INFO records
+    log = logging.getLogger("pillarnext_tpu")
+    log.setLevel(logging.INFO if rank == 0 else logging.ERROR)
+    if not log.handlers:
+        h = logging.StreamHandler()
+        h.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
+        )
+        log.addHandler(h)
+    log.propagate = False
+    return log
 
 
 def maybe_init_distributed():
@@ -102,6 +110,7 @@ def main():
         clip_grad_val=float(cfg["trainer"].get("clip_grad_val", 0)),
         max_epochs=int(cfg["trainer"]["max_epochs"]),
         eval_every_nepochs=int(cfg["trainer"].get("eval_every_nepochs", 1)),
+        log_every_niters=int(cfg["trainer"].get("log_every_niters", 50)),
         accum_steps=accum,
         logger_=log,
         work_dir=args.work_dir,

@@ -121,7 +121,21 @@ class Trainer:
         timer = profiling.StepTimer(window=self.log_every_niters)
         # trace a few steady-state steps (skip compile) on the first epoch
         trace_steps = range(3, 6) if (self.profile_dir and self.epoch == 0) else None
-        for i, batch in enumerate(self.train_dataloader):
+        loader_wait = 0.0  # host time blocked on the dataloader since last log
+
+        def _iter_timed(it):
+            nonlocal loader_wait
+            it = iter(it)
+            while True:
+                t = time.time()
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    return
+                loader_wait += time.time() - t
+                yield batch
+
+        for i, batch in enumerate(_iter_timed(self.train_dataloader)):
             if trace_steps and i == trace_steps.start:
                 jax.profiler.start_trace(str(self.profile_dir))
             example = {k: v for k, v in batch.items() if k != "token"}
@@ -137,7 +151,8 @@ class Trainer:
                 lr = float(self.lr_schedule(step)) if self.lr_schedule else float("nan")
                 self.logger.info(
                     "Epoch [%d/%d][%d/%d]\tlr: %.5f, loss: %.4f, %.2f it/s"
-                    " (fenced step %.0f ms)",
+                    " (fenced step %.0f ms, loader wait %.0f ms/it — "
+                    "starvation if ~step time)",
                     self.epoch + 1,
                     self.max_epochs,
                     i + 1,
@@ -146,7 +161,9 @@ class Trainer:
                     float(scalars["loss"]),
                     (i + 1) / (time.time() - t_start),
                     timer.mean * 1000,
+                    loader_wait / self.log_every_niters * 1000,
                 )
+                loader_wait = 0.0
                 self.logger.info(format_log_dict(jax.tree.map(np.asarray, logs)))
                 self._check_overflow(scalars, f"epoch {self.epoch + 1} iter {i + 1}")
         # re-check on the epoch's final step so overflow between log ticks

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Detection-level parity vs the torch reference mirror AT FLAGSHIP SCALE.
+
+Same instrument as tests/test_detection_parity.py but at the real
+PillarNeXt-B configuration — full 1344^2 pillar grid, 6 task groups, iou
+branch, ResNet18 depths, ASPP neck, 1000/83 NMS — one 200k-point
+beam-structured frame through BOTH full pipelines with the SAME weights:
+
+  torch mirror: dynamic torch.unique voxelization, PFN, SubM/dense backbone,
+      ASPP, CenterHead, reference decode + C++-oracle NMS (cited per class in
+      tests/torch_mirror.py against /root/reference det3d/*)
+  this framework: jitted SingleStageDetector.predict, bit-exact eval config
+      (masked_eval=true, approx_topk=false), float32.
+
+Prints per-frame detection counts, max |box delta|, score/label agreement.
+CPU-only; the torch mirror at 1344^2 takes minutes per frame — run with a
+small --points to smoke, default is the full scan.
+
+Usage: JAX_PLATFORMS=cpu python tools/flagship_parity.py [--points 200000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=200_000)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import torch
+
+    import torch_mirror as tm
+    from pillarnext_tpu.utils import builders
+    from pillarnext_tpu.utils import torch_import as ti
+    from pillarnext_tpu.utils.config import load_experiment
+    from pillarnext_tpu.utils.synth import lidar_like_points
+
+    cfg = load_experiment(
+        REPO / "pillarnext_tpu/configs/experiments/nusc_det_pp18_aspp_iou_sp.yaml",
+        [
+            "model.dtype=float32",
+            "model.backbone.masked_eval=true",
+            "model.post_processing.approx_topk=false",
+        ],
+    )
+    mc = cfg["model"]
+    tasks = [list(t) for t in mc["head"]["tasks"]]
+    common = {k: tuple(v) for k, v in mc["head"]["common_heads"].items()}
+    common["iou"] = (1, 2)  # with_reg_iou: True
+    rectifier = mc["head"]["rectifier"]
+    num_classes = [len(t) for t in tasks]
+
+    # ---- torch mirror at flagship dims, randomized BN running stats
+    torch.manual_seed(args.seed)
+    tmodel = tm.TModel(
+        num_input_features=5,
+        num_filters=tuple(mc["reader"]["num_filters"]),
+        voxel_size=mc["reader"]["voxel_size"],
+        pc_range=mc["reader"]["pc_range"],
+        bb_filters=tuple(mc["backbone"]["ds_num_filters"]),
+        bb_strides=tuple(mc["backbone"]["ds_layer_strides"]),
+        bb_layer_nums=tuple(mc["backbone"]["layer_nums"]),
+        out_channels=mc["backbone"]["out_channels"]
+        if "out_channels" in mc["backbone"]
+        else 256,
+        tasks=tasks,
+        common_heads=common,
+        head_stride=mc["head"]["strides"][0],
+        subm=True,  # stage-0 SubM like the reference sparse backbone
+    ).eval()
+    tm.randomize_bn_stats(tmodel, np.random.default_rng(args.seed + 1))
+
+    # ---- same weights into the jax model
+    sd = {}
+    for k, v in tmodel.state_dict().items():
+        sd["neck.weight" if k.startswith("neck.weight") else k] = v.detach().numpy()
+    params, stats = ti.import_pillarnext(
+        sd, tasks=tasks, common_heads=common,
+    )
+    variables = {"params": params, "batch_stats": stats}
+
+    model = builders.build_model(mc)
+
+    pts, mask = lidar_like_points(1, args.points, mc["reader"]["pc_range"],
+                                  seed=args.seed + 2)
+
+    # ---- torch mirror full pipeline (reference decode + oracle NMS)
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        preds = tmodel(tm.padded_to_ragged(pts, mask))
+    test_cfg = dict(mc["post_processing"])
+    test_cfg["pc_range"] = mc["reader"]["pc_range"]
+    test_cfg["voxel_size"] = mc["reader"]["voxel_size"]
+    test_cfg["out_size_factor"] = mc["head"]["out_size_factor"]
+    ref = tm.reference_predict(preds, test_cfg, rectifier, num_classes)[0]
+    print(f"torch mirror: {time.perf_counter() - t0:.0f}s, "
+          f"{len(ref['scores'])} detections", flush=True)
+
+    # ---- our pipeline
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    out = jax.jit(
+        lambda v, p, m: model.apply(
+            v, {"points": p, "points_mask": m}, method=model.predict
+        )
+    )(variables, jnp.asarray(pts), jnp.asarray(mask))
+    out = jax.tree.map(np.asarray, out)
+    valid = out["valid"][0]
+    ours = {
+        "box3d_lidar": out["box3d_lidar"][0][valid],
+        "scores": out["scores"][0][valid],
+        "label_preds": out["label_preds"][0][valid],
+    }
+    print(f"jax predict: {time.perf_counter() - t0:.0f}s, "
+          f"{len(ours['scores'])} detections", flush=True)
+
+    # ---- compare (score-sorted)
+    def key(d):
+        return np.argsort(-d["scores"], kind="stable")
+
+    ri, oi = key(ref), key(ours)
+    n = min(len(ri), len(oi))
+    assert len(ri) == len(oi), f"count mismatch: ref {len(ri)} vs ours {len(oi)}"
+    db = np.abs(ref["box3d_lidar"][ri][:n] - ours["box3d_lidar"][oi][:n])
+    # yaw compared modulo 2pi
+    db[:, -1] = np.minimum(db[:, -1], 2 * np.pi - db[:, -1])
+    ds = np.abs(ref["scores"][ri][:n] - ours["scores"][oi][:n])
+    dl = (ref["label_preds"][ri][:n] != ours["label_preds"][oi][:n]).sum()
+    print(f"max |box delta| {db.max():.2e}  max |score delta| {ds.max():.2e}  "
+          f"label mismatches {int(dl)}/{n}", flush=True)
+    assert db.max() < 5e-2 and ds.max() < 5e-3 and dl == 0
+    print("FLAGSHIP-PARITY OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""End-to-end learning sanity on the real chip: overfit the full flagship
-PillarNeXt-B (1344^2 grid) on one synthetic scene and verify the detector
-finds the planted objects.
+"""End-to-end learning sanity on the real chip: overfit a full config-scale
+model (flagship PillarNeXt-B at the 1344^2 grid by default; --config voxel18
+runs the fully sparse 3-D backbone at the 72M-cell grid) on one synthetic
+scene and verify the detector finds the planted objects.
 
-    python tools/overfit_sanity.py [steps]
+    python tools/overfit_sanity.py [steps] [--config flagship|voxel18|PATH]
 """
 
 from __future__ import annotations
@@ -32,12 +33,23 @@ from pillarnext_tpu.utils.config import load_experiment
 # NOTE: eval mode uses BN *running* stats (torch momentum 0.01 parity =>
 # 0.99 decay); they need a few hundred steps to converge to the overfit
 # batch stats, so don't run this with fewer than ~250 steps.
-STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
-
-cfg = load_experiment(
+_args = [a for a in sys.argv[1:]]
+STEPS = int(_args[0]) if _args and _args[0].isdigit() else 300
+_cfg_name = "flagship"
+if "--config" in _args:
+    _cfg_name = _args[_args.index("--config") + 1]
+_CFG_FILES = {
+    "flagship": "nusc_det_pp18_aspp_iou_sp.yaml",
+    "voxel18": "nusc_det_voxel18_aspp_iou_sp.yaml",
+}
+_cfg_path = (
     Path(__file__).resolve().parent.parent
-    / "pillarnext_tpu/configs/experiments/nusc_det_pp18_aspp_iou_sp.yaml"
+    / "pillarnext_tpu/configs/experiments"
+    / _CFG_FILES.get(_cfg_name, _cfg_name)
 )
+print(f"config: {_cfg_path.name}, steps: {STEPS}", flush=True)
+
+cfg = load_experiment(_cfg_path)
 model = builders.build_model(cfg["model"])
 
 # --- one synthetic scene: 6 cars + 4 pedestrians with dense point clusters
