@@ -62,7 +62,12 @@ class PFNLayer(nn.Module):
         if self.last_layer:
             return pillar_max  # (num_segments, units)
         back = scatter.gather_segments(
-            pillar_max, seg_ids, indices_are_sorted=self.sorted_ids
+            pillar_max,
+            seg_ids,
+            indices_are_sorted=self.sorted_ids,
+            # dump row = max over mask-zeroed rows = 0 exactly (segment_max
+            # clamps empties to 0 too) -> Pallas windowed-gather eligible
+            zero_dump_row=self.sorted_ids,
         )
         return jnp.concatenate([x, back], axis=-1)
 
@@ -129,7 +134,8 @@ class PillarFeatureNet(nn.Module):
             num_segments,
             indices_are_sorted=True,
         )
-        f_cluster = xyz_s - scatter.gather_segments(mean_xyz, slot)
+        # dump row of mean_xyz is 0/max(count,1) = exactly 0
+        f_cluster = xyz_s - scatter.gather_segments(mean_xyz, slot, zero_dump_row=True)
 
         # center offsets from the pillar center (pillar_encoder.py:119-120)
         vs = jnp.asarray(grid.voxel_size[:2], jnp.float32)

@@ -23,6 +23,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from pillarnext_tpu.ops.pallas_gather import monotone_row_gather, pallas_enabled
+
 
 def densify(table: jnp.ndarray, slot_of_dense: jnp.ndarray, slot_id: jnp.ndarray) -> jnp.ndarray:
     """Gather (rows, C) = table[slot_of_dense] with an O(cap) backward.
@@ -34,9 +36,16 @@ def densify(table: jnp.ndarray, slot_of_dense: jnp.ndarray, slot_id: jnp.ndarray
             unused slots (they then read the zero pad row in the backward).
     """
     rows = slot_of_dense.shape[0]
+    cap = table.shape[0] - 1
 
     @jax.custom_vjp
     def _gather(t):
+        if pallas_enabled() and t.shape[-1] >= 8:
+            # slot_of_dense's real (< cap) entries ascend in dense order with
+            # per-tile span <= tile rows (ops/compact.py assigns slots in
+            # ascending dense-id order); the dump slot ``cap`` is all-zero,
+            # identical to the kernel's sentinel-row zeros — bit-exact.
+            return monotone_row_gather(t[:cap], slot_of_dense)
         return t[slot_of_dense]
 
     def _fwd(t):

@@ -53,7 +53,10 @@ def segment_mean(
 
 
 def gather_segments(
-    table: jnp.ndarray, segment_ids: jnp.ndarray, indices_are_sorted: bool = True
+    table: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    indices_are_sorted: bool = True,
+    zero_dump_row: bool = False,
 ) -> jnp.ndarray:
     """``table[segment_ids]`` with a SORTED segment-sum backward.
 
@@ -63,11 +66,25 @@ def gather_segments(
     ``mean_xyz[slot]``) have ~5 colliding points per pillar by construction.
     The custom VJP re-expresses the backward as ``segment_sum`` with
     ``indices_are_sorted`` carried through.
+
+    zero_dump_row: caller asserts the LAST table row is exactly zero and that
+        the non-dump ids ascend with every slot in between occupied (the
+        compact-pipeline invariant) — enables the windowed Pallas gather on
+        TPU (ops/pallas_gather.py), bit-identical under that contract.
     """
     num_segments = table.shape[0]
 
     @jax.custom_vjp
     def _gather(t):
+        from pillarnext_tpu.ops.pallas_gather import monotone_row_gather, pallas_enabled
+
+        if (
+            zero_dump_row
+            and indices_are_sorted
+            and pallas_enabled()
+            and t.shape[-1] >= 8
+        ):
+            return monotone_row_gather(t[: num_segments - 1], segment_ids)
         return jnp.take(t, segment_ids, axis=0, indices_are_sorted=indices_are_sorted)
 
     def _fwd(t):

@@ -104,7 +104,8 @@ def main():
     test_cfg["pc_range"] = mc["reader"]["pc_range"]
     test_cfg["voxel_size"] = mc["reader"]["voxel_size"]
     test_cfg["out_size_factor"] = mc["head"]["out_size_factor"]
-    ref = tm.reference_predict(preds, test_cfg, rectifier, num_classes)[0]
+    preds_np = [{k: v.numpy() for k, v in pd.items()} for pd in preds]
+    ref = tm.reference_predict(preds_np, test_cfg, rectifier, num_classes)[0]
     print(f"torch mirror: {time.perf_counter() - t0:.0f}s, "
           f"{len(ref['scores'])} detections", flush=True)
 
