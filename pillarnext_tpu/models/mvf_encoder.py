@@ -112,8 +112,15 @@ class SingleView(nn.Module):
             b, h, w, table.shape[-1]
         )
 
+        # per-block remat in training: the full-resolution view towers (e.g.
+        # Waymo 2048^2 pillar view) otherwise hold every block's conv/BN
+        # internals live for the backward — measured 26.4 G HBM (OOM) at
+        # config scale without it
+        conv_cls = nn.remat(ConvBlock, static_argnums=(2,)) if train else ConvBlock
+        res_cls = nn.remat(ResidualBlock, static_argnums=(2,)) if train else ResidualBlock
+        blk = 0
         for i, num_blocks in enumerate(self.layer_nums):
-            x = ConvBlock(
+            x = conv_cls(
                 self.ds_num_filters[i],
                 kernel_size=self.kernel_size[i],
                 stride=self.ds_layer_strides[i],
@@ -121,14 +128,17 @@ class SingleView(nn.Module):
                 bn_momentum=BN_MOMENTUM_SPARSE,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
+                name=f"ConvBlock_{i}",
             )(x, train)
             for _ in range(num_blocks):
-                x = ResidualBlock(
+                x = res_cls(
                     self.ds_num_filters[i],
                     kernel_size=self.kernel_size[i],
                     axis_name=self.axis_name,
                     dtype=self.dtype,
+                    name=f"ResidualBlock_{blk}",
                 )(x, train)
+                blk += 1
 
         ds_rate = int(np.prod(self.ds_layer_strides))
         u = pos_uv[:, 0] / ds_rate
