@@ -135,6 +135,23 @@ def main():
 
     ri, oi = key(ref), key(ours)
     n = min(len(ri), len(oi))
+    if len(ri) != len(oi):
+        # diagnose: per-label counts + the scores around the disagreement
+        nl = int(max(ref["label_preds"].max(), ours["label_preds"].max())) + 1
+        for lb in range(nl):
+            rc = int((ref["label_preds"] == lb).sum())
+            oc = int((ours["label_preds"] == lb).sum())
+            if rc != oc:
+                rs = np.sort(ref["scores"][ref["label_preds"] == lb])
+                os_ = np.sort(ours["scores"][ours["label_preds"] == lb])
+                print(
+                    f"label {lb}: ref {rc} vs ours {oc}; "
+                    f"ref min-kept {rs[:3]} ours min-kept {os_[:3]}",
+                    flush=True,
+                )
+        # extra-in-ours: nearest ref score to each unmatched ours score
+        print("ref score range", ref["scores"].min(), ref["scores"].max(), flush=True)
+        print("ours score range", ours["scores"].min(), ours["scores"].max(), flush=True)
     assert len(ri) == len(oi), f"count mismatch: ref {len(ri)} vs ours {len(oi)}"
     db = np.abs(ref["box3d_lidar"][ri][:n] - ours["box3d_lidar"][oi][:n])
     # yaw compared modulo 2pi
