@@ -37,6 +37,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=200_000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--heads", action="store_true",
+        help="compare raw per-task head outputs instead of decoded boxes "
+        "(splits network divergence from decode/NMS divergence)",
+    )
     args = ap.parse_args()
 
     import torch
@@ -57,8 +62,12 @@ def main():
     )
     mc = cfg["model"]
     tasks = [list(t) for t in mc["head"]["tasks"]]
+    # NOTE: no 'iou' entry — the reference nusc flagship has with_reg_iou
+    # (an IoU REGRESSION LOSS) but no iou prediction branch: reference
+    # centerhead.py:97 gates the branch on 'iou' in common_heads (absent in
+    # configs/models/head/centerhead.yaml) and decode falls back to iou=1
+    # (centerhead.py:267-271), i.e. rectified score = sqrt(hm).
     common = {k: tuple(v) for k, v in mc["head"]["common_heads"].items()}
-    common["iou"] = (1, 2)  # with_reg_iou: True
     rectifier = mc["head"]["rectifier"]
     num_classes = [len(t) for t in tasks]
 
@@ -105,6 +114,27 @@ def main():
     test_cfg["voxel_size"] = mc["reader"]["voxel_size"]
     test_cfg["out_size_factor"] = mc["head"]["out_size_factor"]
     preds_np = [{k: v.numpy() for k, v in pd.items()} for pd in preds]
+
+    if args.heads:
+        import jax
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        jp = jax.jit(lambda v, p, m: model.apply(v, p, m))(
+            variables, jnp.asarray(pts), jnp.asarray(mask)
+        )
+        print(f"jax forward: {time.perf_counter() - t0:.0f}s", flush=True)
+        worst = 0.0
+        for ti_, (tp, jd) in enumerate(zip(preds_np, jp)):
+            for k, tv in tp.items():
+                jv = np.transpose(np.asarray(jd[k]), (0, 3, 1, 2))  # NHWC->NCHW
+                d = float(np.abs(tv - jv).max())
+                scale = float(np.abs(tv).max())
+                print(f"task {ti_} {k:7s} max|delta| {d:.3e}  (max|ref| {scale:.3e})", flush=True)
+                worst = max(worst, d)
+        print(f"HEADS max|delta| = {worst:.3e}", flush=True)
+        return
+
     ref = tm.reference_predict(preds_np, test_cfg, rectifier, num_classes)[0]
     print(f"torch mirror: {time.perf_counter() - t0:.0f}s, "
           f"{len(ref['scores'])} detections", flush=True)
