@@ -159,7 +159,10 @@ def main():
     print(f"jax predict: {time.perf_counter() - t0:.0f}s, "
           f"{len(ours['scores'])} detections", flush=True)
 
-    # ---- compare (score-sorted)
+    # ---- compare: greedy nearest-center matching (score-sorted positional
+    # pairing mispairs near-tied scores — with random weights many detections
+    # score within 1e-4 of each other and order is not stable across
+    # implementations)
     def key(d):
         return np.argsort(-d["scores"], kind="stable")
 
@@ -183,13 +186,21 @@ def main():
         print("ref score range", ref["scores"].min(), ref["scores"].max(), flush=True)
         print("ours score range", ours["scores"].min(), ours["scores"].max(), flush=True)
     assert len(ri) == len(oi), f"count mismatch: ref {len(ri)} vs ours {len(oi)}"
-    db = np.abs(ref["box3d_lidar"][ri][:n] - ours["box3d_lidar"][oi][:n])
-    # yaw compared modulo 2pi
-    db[:, -1] = np.minimum(db[:, -1], 2 * np.pi - db[:, -1])
-    ds = np.abs(ref["scores"][ri][:n] - ours["scores"][oi][:n])
-    dl = (ref["label_preds"][ri][:n] != ours["label_preds"][oi][:n]).sum()
+    rb, ob = ref["box3d_lidar"], ours["box3d_lidar"]
+    # greedy 1:1 nearest-center assignment (O(n^2), n ~ hundreds)
+    d2 = ((rb[:, None, :3] - ob[None, :, :3]) ** 2).sum(-1)
+    taken = np.zeros(len(oi), bool)
+    match = np.full(len(ri), -1, np.int64)
+    for i in np.argsort(d2.min(axis=1)):  # most-confident matches first
+        j_order = np.argsort(d2[i])
+        j = next(j for j in j_order if not taken[j])
+        match[i], taken[j] = j, True
+    db = np.abs(rb - ob[match])
+    db[:, -1] = np.minimum(db[:, -1], 2 * np.pi - db[:, -1])  # yaw mod 2pi
+    ds = np.abs(ref["scores"] - ours["scores"][match])
+    dl = int((ref["label_preds"] != ours["label_preds"][match]).sum())
     print(f"max |box delta| {db.max():.2e}  max |score delta| {ds.max():.2e}  "
-          f"label mismatches {int(dl)}/{n}", flush=True)
+          f"label mismatches {dl}/{n}", flush=True)
     assert db.max() < 5e-2 and ds.max() < 5e-3 and dl == 0
     print("FLAGSHIP-PARITY OK", flush=True)
 
