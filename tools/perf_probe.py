@@ -38,6 +38,13 @@ if os.environ.get("PNX_NO_REMAT"):
 if os.environ.get("PNX_SPARSE_ALL"):
     cfg["model"]["backbone"]["sparse_stages_train"] = "all"
     cfg["model"]["backbone"]["sparse_stages_eval"] = "all"
+if os.environ.get("PNX_SPARSE_LEADING"):
+    cfg["model"]["backbone"]["sparse_stages_train"] = "leading"
+if os.environ.get("PNX_BATCH_CAP"):
+    # per-sample pillar capacity override: the default scales capacities
+    # linearly with B; at large B real scenes never fill that (diagnostic
+    # for the B=8 train regression)
+    cfg["model"]["reader"]["pillar_capacity"] = int(os.environ["PNX_BATCH_CAP"])
 model = builders.build_model(cfg["model"])
 from pillarnext_tpu.utils.synth import lidar_like_points
 
