@@ -95,10 +95,7 @@ def main():
             np_preds = [
                 {k: v.numpy() for k, v in d.items()} for d in preds
             ]
-            sys.path.insert(0, str(REPO / "tests"))
-            import test_detection_parity as tdp
-
-            tdp.reference_predict(np_preds, test_cfg, rectifier, [len(t) for t in TASKS])
+            tm.reference_predict(np_preds, test_cfg, rectifier, [len(t) for t in TASKS])
             times.append(time.perf_counter() - t0)
     torch_ms = min(times) * 1000
     print(f"torch mirror e2e (best of {RUNS}): {torch_ms:.0f} ms", flush=True)
