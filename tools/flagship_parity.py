@@ -12,11 +12,14 @@ beam-structured frame through BOTH full pipelines with the SAME weights:
   this framework: jitted SingleStageDetector.predict, bit-exact eval config
       (masked_eval=true, approx_topk=false), float32.
 
-Prints per-frame detection counts, max |box delta|, score/label agreement.
-CPU-only; the torch mirror at 1344^2 takes minutes per frame — run with a
-small --points to smoke, default is the full scan.
+Prints per-frame detection counts, match fraction, box/score agreement.
+The torch mirror runs on the host CPU; the jax side runs on the session's
+default backend — from this repo's cwd that is the axon TPU plugin (the
+plugin overrides JAX_PLATFORMS), i.e. the passing run is CROSS-HARDWARE:
+torch/f32/CPU vs jax/f32/TPU.  The mirror takes minutes per frame at
+1344^2 — use a small --points to smoke, default is the full scan.
 
-Usage: JAX_PLATFORMS=cpu python tools/flagship_parity.py [--points 200000]
+Usage: python tools/flagship_parity.py [--points 200000] [--heads]
 """
 
 from __future__ import annotations
