@@ -39,9 +39,35 @@ def setup_logging(rank: int) -> logging.Logger:
     return log
 
 
+def honor_jax_platforms_env():
+    """Re-apply JAX_PLATFORMS / the XLA_FLAGS host-device count: some
+    managed environments install a sitecustomize that force-sets
+    ``jax.config.jax_platforms`` (e.g. 'axon,cpu') and rewrites XLA_FLAGS,
+    silently overriding the standard env vars — which breaks CPU-pinned
+    subprocess runs (tests, multi-process loaders)."""
+    import re
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # PNX_CPU_DEVICES wins: managed envs may also rewrite XLA_FLAGS itself,
+    # so the standard flag can't round-trip through the environment
+    n = os.environ.get("PNX_CPU_DEVICES")
+    if not n:
+        m = re.search(
+            r"--xla_force_host_platform_device_count=(\d+)",
+            os.environ.get("XLA_FLAGS", ""),
+        )
+        n = m.group(1) if m else None
+    if n:
+        jax.config.update("jax_num_cpu_devices", int(n))
+
+
 def maybe_init_distributed():
     import jax
 
+    honor_jax_platforms_env()
     if os.environ.get("JAX_COORDINATOR"):
         jax.distributed.initialize(
             coordinator_address=os.environ["JAX_COORDINATOR"],

@@ -50,6 +50,9 @@ def test_train_then_test_cli(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # this environment's sitecustomize rewrites XLA_FLAGS inside the child,
+    # so the count must also travel via the CLI's own env knob
+    env["PNX_CPU_DEVICES"] = "1"
     env["PYTHONPATH"] = str(REPO)
 
     cmd = [
@@ -60,7 +63,7 @@ def test_train_then_test_cli(tmp_path):
         "--work-dir",
         str(work),
     ] + _overrides(root)
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=900, cwd=tmp_path)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=900, cwd=tmp_path, env=env)
     assert r.returncode == 0, r.stderr[-3000:]
 
     # checkpoint written, eval artifacts produced
@@ -82,6 +85,6 @@ def test_train_then_test_cli(tmp_path):
         "--work-dir",
         str(tmp_path / "work2"),
     ] + _overrides(root)
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=900, cwd=tmp_path)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=900, cwd=tmp_path, env=env)
     assert r.returncode == 0, r.stderr[-3000:]
     assert (tmp_path / "work2" / "results" / "epoch_1" / "results_nusc.json").exists()
