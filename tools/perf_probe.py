@@ -40,6 +40,10 @@ if os.environ.get("PNX_SPARSE_ALL"):
     cfg["model"]["backbone"]["sparse_stages_eval"] = "all"
 if os.environ.get("PNX_SPARSE_LEADING"):
     cfg["model"]["backbone"]["sparse_stages_train"] = "leading"
+if os.environ.get("PNX_STAGE_FRACS"):
+    cfg["model"]["backbone"]["stage_capacity_frac"] = [
+        float(f) for f in os.environ["PNX_STAGE_FRACS"].split(",")
+    ]
 if os.environ.get("PNX_BATCH_CAP"):
     # per-sample pillar capacity override: the default scales capacities
     # linearly with B; at large B real scenes never fill that (diagnostic
