@@ -201,6 +201,48 @@ class _SparseStridedStage(nn.Module):
         return x
 
 
+class _HybridStridedStage(nn.Module):
+    """Strided stage for the 'leading+down' eval mode: the set-dilating
+    downsample conv runs SPARSE over compact tables (the full-resolution
+    image is never materialized), the result is densified at the
+    POST-stride grid (4x fewer cells than densifying before the stride),
+    and the stage's residual blocks run as masked-dense convs (SubM-exact
+    on the dilated set).  Param tree (down + block_j) matches _Stage /
+    _SparseStridedStage, so checkpoints interchange."""
+
+    features: int
+    kernel_size: int
+    num_blocks: int
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self, table, out_valid, nbr_fwd, nbr_rev, out_sod, out_slot_id,
+        batch, out_sp, mask, train: bool = False,
+    ):
+        x = _SparseStridedConvBlock(
+            self.features, self.kernel_size,
+            axis_name=self.axis_name, dtype=self.dtype, name="down",
+        )(table, out_valid, nbr_fwd, nbr_rev, train)
+        dense = SparseBEV(
+            table=jnp.concatenate(
+                [x, jnp.zeros((1, x.shape[-1]), x.dtype)], axis=0
+            ),
+            valid=out_valid,
+            slot_of_dense=out_sod,
+            slot_id=out_slot_id,
+            batch=batch,
+            spatial=tuple(out_sp),
+        ).to_dense()
+        for j in range(self.num_blocks):
+            dense = ResidualBlock(
+                self.features, kernel_size=self.kernel_size,
+                axis_name=self.axis_name, dtype=self.dtype, name=f"block_{j}",
+            )(dense, train, mask)
+        return dense
+
+
 class _SparseStage(nn.Module):
     """One leading stride-1 backbone stage over the compact table, with the
     same param tree (down + block_j) as the dense _Stage."""
@@ -362,6 +404,8 @@ class SparseResNet(nn.Module):
             stages_mode = self.sparse_stages_train if train else self.sparse_stages_eval
             if use_sparse and stages_mode == "all":
                 return self._all_sparse(sb, train)
+            if use_sparse and stages_mode == "leading+down":
+                return self._leading_down(sb, train)
             if n_sparse and use_sparse:
                 nbr = build_neighbor_table(
                     sb.slot_of_dense,
@@ -510,6 +554,111 @@ class SparseResNet(nn.Module):
             batch=batch,
             spatial=tuple(spatial),
         ).to_dense()
+
+    def _leading_down(self, sb: SparseBEV, train: bool):
+        """'leading+down' mode: the stride-1 prefix AND the first strided
+        downsample run sparse, so the dense image is materialized once at
+        the POST-stride grid (H/2: 4x fewer cells/bytes than 'leading''s
+        full-resolution densify); the rest of the backbone is the
+        [masked-]dense tail.  Identical math to 'leading' on the active
+        set (the strided SparseConv dilates the set exactly like the dense
+        path's reduce_window mask dilation)."""
+        n_sparse = 0
+        while (
+            n_sparse < len(self.layer_nums)
+            and self.ds_layer_strides[n_sparse] == 1
+        ):
+            n_sparse += 1
+        assert n_sparse < len(self.layer_nums), "needs a strided stage"
+        batch, spatial = sb.batch, sb.spatial
+        cap0 = sb.capacity
+
+        nbr = build_neighbor_table(
+            sb.slot_of_dense, sb.slot_id, spatial,
+            subm_offsets_2d(self.kernel_size[0]), cap0,
+        )
+        table = sb.table[:-1]
+        for i in range(n_sparse):
+            table = _SparseStage(
+                self.ds_num_filters[i], self.kernel_size[i], self.layer_nums[i],
+                axis_name=self.axis_name, dtype=self.dtype, name=f"stage_{i}",
+            )(table, sb.valid, nbr, train)
+
+        i = n_sparse
+        k, s, f = self.kernel_size[i], self.ds_layer_strides[i], self.ds_num_filters[i]
+        out_hw = (spatial[0] + s - 1) // s * ((spatial[1] + s - 1) // s)
+        cap_out = min(
+            max(int(cap0 * float(self.stage_capacity_frac[i])), 4096),
+            batch * out_hw,
+        )
+        out_slot_id, out_sod, out_valid, out_sp, n_out = downsample_active_set(
+            sb.slot_of_dense, cap0, batch, spatial, (k, k), (s, s), cap_out
+        )
+        if not self.is_initializing():
+            self.sow("telemetry", f"stage{i}_active", n_out)
+            self.sow("telemetry", f"stage{i}_overflow", jnp.maximum(n_out - cap_out, 0))
+        nbr_fwd, nbr_rev = build_down_neighbor_tables(
+            sb.slot_of_dense, out_slot_id, out_sod, sb.slot_id, batch, spatial,
+            (k, k), (s, s),
+        )
+
+        def full_mask(m, channels):
+            # pre-broadcast + barrier: see __call__'s dense tail
+            return jax.lax.optimization_barrier(
+                jnp.broadcast_to(m, (*m.shape[:-1], channels))
+            )
+
+        mask = None
+        if train or self.masked_eval:
+            mask = (out_sod < cap_out).reshape(batch, *out_sp, 1)
+
+        x = _HybridStridedStage(
+            f, k, self.layer_nums[i],
+            axis_name=self.axis_name, dtype=self.dtype, name=f"stage_{i}",
+        )(
+            table, out_valid, nbr_fwd, nbr_rev, out_sod, out_slot_id,
+            batch, out_sp, None if mask is None else full_mask(
+                mask.astype(self.dtype or jnp.float32), f
+            ),
+            train,
+        )
+        if mask is not None:
+            mask = mask.astype(x.dtype)
+
+        stage_cls = (
+            nn.remat(_Stage, static_argnums=(2,))
+            if train and self.remat_train
+            else _Stage
+        )
+        for j in range(i + 1, len(self.layer_nums)):
+            if mask is not None and self.ds_layer_strides[j] > 1:
+                sj, kj, pj = self.ds_layer_strides[j], self.kernel_size[j], self.kernel_size[j] // 2
+                mask = jax.lax.reduce_window(
+                    mask,
+                    jnp.array(0, mask.dtype),
+                    jax.lax.max,
+                    (1, kj, kj, 1),
+                    (1, sj, sj, 1),
+                    ((0, 0), (pj, pj), (pj, pj), (0, 0)),
+                )
+            x = stage_cls(
+                self.ds_num_filters[j],
+                self.ds_layer_strides[j],
+                self.kernel_size[j],
+                self.layer_nums[j],
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                name=f"stage_{j}",
+            )(x, train, None if mask is None else full_mask(mask, self.ds_num_filters[j]))
+        x = ConvBlock(
+            self.out_channels,
+            kernel_size=1,
+            bn_eps=BN_EPS_SPARSE,
+            bn_momentum=BN_MOMENTUM_SPARSE,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+        )(x, train, None if mask is None else full_mask(mask, self.out_channels))
+        return x
 
 
 class SparseResNet3D(nn.Module):

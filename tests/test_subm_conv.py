@@ -313,3 +313,61 @@ def test_all_sparse_backbone_equals_masked_dense():
         np.testing.assert_allclose(
             np.asarray(va_), np.asarray(vm_), rtol=5e-2, atol=5e-2
         )
+
+
+def test_leading_down_backbone_equals_masked_dense():
+    """'leading+down' (sparse prefix + sparse strided downsample, densify at
+    the post-stride grid, masked-dense rest) must equal the fully
+    masked-dense path on the SAME params — eval mode."""
+    from pillarnext_tpu.models.pillar_encoder import PillarFeatureNet
+    from pillarnext_tpu.models.resnet import SparseResNet
+
+    rng = np.random.default_rng(12)
+    common = dict(
+        num_input_features=5,
+        num_filters=[16, 16],
+        voxel_size=[0.5, 0.5, 8.0],
+        pc_range=[-12.0, -12.0, -5.0, 12.0, 12.0, 3.0],
+        pillar_capacity=256,
+        output="sparse",
+    )
+    bb_kw = dict(
+        layer_nums=[1, 1, 1],
+        ds_layer_strides=[1, 2, 2],
+        ds_num_filters=[16, 24, 32],
+        num_input_features=16,
+        kernel_size=(3, 3, 3),
+        out_channels=32,
+    )
+    pts = jnp.asarray(rng.normal(size=(2, 300, 5)).astype(np.float32) * 6)
+    mask = jnp.ones((2, 300), bool)
+
+    import flax.linen as fnn
+
+    class M(fnn.Module):
+        stages: str
+        force: bool = False
+
+        @fnn.compact
+        def __call__(self, p, q, train=False):
+            sb = PillarFeatureNet(**common, name="reader")(p, q, train)
+            return SparseResNet(
+                **bb_kw,
+                sparse_eval=True,
+                sparse_stages_train=self.stages,
+                sparse_stages_eval=self.stages,
+                force_dense_train=self.force,
+                name="backbone",
+            )(sb, train)
+
+    m_hyb = M("leading+down")
+    m_masked = M("leading", force=True)  # masked dense everywhere
+    v = m_hyb.init(jax.random.PRNGKey(0), pts, mask)
+
+    out_h = m_hyb.apply(v, pts, mask, False)
+    out_m = m_masked.apply(v, pts, mask, False)
+    assert out_h.shape == out_m.shape
+    np.testing.assert_allclose(
+        np.asarray(out_h), np.asarray(out_m), rtol=2e-2, atol=2e-2
+    )
+    assert float(jnp.abs(out_h).max()) > 0
