@@ -389,14 +389,25 @@ class CenterHead(nn.Module):
     def predict(self, preds_dicts, test_cfg):
         """Decode + per-class NMS, fixed-size output (centerhead.py:231-384).
 
+        All task groups sharing a map resolution are batched through ONE
+        exact top-k and ONE vmapped NMS over the b*sum(C_t) lanes (the
+        reference dispatches per task sequentially, centerhead.py:310-330;
+        per-lane math is identical — the per-task IoU thresholds ride along
+        as traced scalars — so outputs are bit-equal to the per-task loop
+        while the radix-select/NMS kernels run full-width).
+
         Returns dict of arrays over the merged task groups:
           box3d_lidar (B, D, 9), scores (B, D), label_preds (B, D),
           valid (B, D) — D = sum over tasks/classes of nms_post_max_size.
         """
-        all_boxes, all_scores, all_labels, all_valid = [], [], [], []
         post_range = jnp.asarray(test_cfg["post_center_limit_range"], jnp.float32)
-        label_offset = 0
+        nms_cfg = test_cfg["nms"]
+        pre = int(nms_cfg["nms_pre_max_size"])
+        post = int(nms_cfg["nms_post_max_size"])
+        nms_type = test_cfg.get("nms_type", "iou3d")
 
+        # ---- phase 1: per-task dense score/validity maps (cheap) ----
+        lanes = []  # per task: dict of dense maps + lane scores
         for task_id, preds in enumerate(preds_dicts):
             b, h, w, num_cls = preds["hm"].shape
             hm = jax.nn.sigmoid(preds["hm"].astype(jnp.float32)).reshape(b, h * w, num_cls)
@@ -426,23 +437,47 @@ class CenterHead(nn.Module):
             rect = jnp.asarray(self.rectifier[task_id], jnp.float32)[labels]
             rect_scores = jnp.power(scores, 1.0 - rect) * jnp.power(iou_c, rect)
 
-            nms_cfg = test_cfg["nms"]
-            pre = int(nms_cfg["nms_pre_max_size"])
-            post = int(nms_cfg["nms_post_max_size"])
-            nms_type = test_cfg.get("nms_type", "iou3d")
-
-            # one vmapped NMS over (batch x class) lanes; per-class IoU
-            # thresholds ride along as a traced scalar per lane
             cls_ids = jnp.arange(num_cls)
             lane_scores = jnp.where(
                 base_valid[..., None] & (labels[..., None] == cls_ids),
                 rect_scores[..., None],
                 NEG_INF,
-            )  # (B, HW, C)
-            lane_scores = lane_scores.transpose(0, 2, 1).reshape(b * num_cls, h * w)
-            lane_thresh = jnp.tile(
-                jnp.asarray(nms_cfg["nms_iou_threshold"][task_id], jnp.float32), b
+            ).transpose(0, 2, 1)  # (B, C, HW)
+            lanes.append(
+                {
+                    "task_id": task_id,
+                    "b": b,
+                    "hw": h * w,
+                    "num_cls": num_cls,
+                    "lane_scores": lane_scores,
+                    "pos3": pos3,
+                    "rect_scores": rect_scores,
+                    "preds": preds,
+                    "thresh": np.asarray(
+                        nms_cfg["nms_iou_threshold"][task_id], np.float32
+                    ).reshape(-1),
+                }
             )
+
+        # ---- phase 2: grouped candidate selection + NMS ----
+        # Tasks with the same map size run in ONE radix select and ONE
+        # vmapped NMS; selection/decode/NMS per lane is unchanged.
+        all_boxes = [None] * len(lanes)
+        all_scores = [None] * len(lanes)
+        all_labels = [None] * len(lanes)
+        all_valid = [None] * len(lanes)
+        label_offsets = np.cumsum([0] + [t["num_cls"] for t in lanes])
+
+        groups: dict[int, list[dict]] = {}
+        for t in lanes:
+            groups.setdefault(t["hw"], []).append(t)
+
+        for hw, group in groups.items():
+            b = group[0]["b"]
+            c_tot = sum(t["num_cls"] for t in group)
+            scores_g = jnp.concatenate(
+                [t["lane_scores"] for t in group], axis=1
+            ).reshape(b * c_tot, hw)
 
             # candidate selection FIRST, then decode only candidates — the
             # full (B, HW, 9) decode (exp, arctan2, 9-ch concat over the
@@ -452,28 +487,54 @@ class CenterHead(nn.Module):
             # (ops/topk.py) — bit-identical to lax.top_k at a fraction of
             # its full-lane-sort cost; approx_topk (legacy, off) swaps it
             # for approx_max_k (recall ~0.95 on the tail).
-            pre_cap = min(pre, h * w)
+            pre_cap = min(pre, hw)
             if test_cfg.get("approx_topk", False):
-                cand_scores, cand_idx = jax.lax.approx_max_k(lane_scores, pre_cap)
+                cand_scores, cand_idx = jax.lax.approx_max_k(scores_g, pre_cap)
             else:
                 from pillarnext_tpu.ops.topk import exact_top_k
 
-                cand_scores, cand_idx = exact_top_k(lane_scores, pre_cap)
-            idx_b = cand_idx.reshape(b, num_cls * pre_cap)
+                cand_scores, cand_idx = exact_top_k(scores_g, pre_cap)
+            cand_idx = cand_idx.reshape(b, c_tot, pre_cap)
+            cand_scores = cand_scores.reshape(b, c_tot, pre_cap)
 
-            def gather_b(dense, ix=idx_b):
-                return jax.vmap(lambda d, i: d[i])(dense, ix)
+            boxes_parts = []
+            cls_start = 0
+            for t in group:
+                num_cls = t["num_cls"]
+                preds = t["preds"]
+                idx_b = cand_idx[:, cls_start : cls_start + num_cls].reshape(
+                    b, num_cls * pre_cap
+                )
 
-            c_pos3 = gather_b(pos3)
-            c_dim = jnp.exp(
-                gather_b(preds["dim"].astype(jnp.float32).reshape(b, h * w, 3))
+                def gather_b(dense, ix=idx_b):
+                    return jax.vmap(lambda d, i: d[i])(dense, ix)
+
+                c_pos3 = gather_b(t["pos3"])
+                c_dim = jnp.exp(
+                    gather_b(preds["dim"].astype(jnp.float32).reshape(b, hw, 3))
+                )
+                c_rot = gather_b(preds["rot"].astype(jnp.float32).reshape(b, hw, 2))
+                c_yaw = jnp.arctan2(c_rot[..., 0:1], c_rot[..., 1:2])
+                c_vel = gather_b(preds["vel"].astype(jnp.float32).reshape(b, hw, 2))
+                boxes_parts.append(
+                    jnp.concatenate([c_pos3, c_dim, c_vel, c_yaw], axis=-1).reshape(
+                        b, num_cls, pre_cap, 9
+                    )
+                )
+                cls_start += num_cls
+
+            cand_boxes = jnp.concatenate(boxes_parts, axis=1).reshape(
+                b * c_tot, pre_cap, 9
             )
-            c_rot = gather_b(preds["rot"].astype(jnp.float32).reshape(b, h * w, 2))
-            c_yaw = jnp.arctan2(c_rot[..., 0:1], c_rot[..., 1:2])
-            c_vel = gather_b(preds["vel"].astype(jnp.float32).reshape(b, h * w, 2))
-            cand_boxes = jnp.concatenate(
-                [c_pos3, c_dim, c_vel, c_yaw], axis=-1
-            ).reshape(b * num_cls, pre_cap, 9)
+            lane_thresh = jnp.tile(
+                jnp.concatenate(
+                    [
+                        jnp.broadcast_to(jnp.asarray(t["thresh"]), (t["num_cls"],))
+                        for t in group
+                    ]
+                ),
+                b,
+            ).reshape(b, c_tot).reshape(b * c_tot)
 
             def run_one(boxes_s, scores_s, th):
                 if nms_type == "circle":
@@ -481,23 +542,41 @@ class CenterHead(nn.Module):
                 nms_boxes = boxes_s[:, [0, 1, 2, 3, 4, 5, 8]]
                 return nms_lib.rotated_nms(nms_boxes, scores_s, th, pre_cap, post)
 
-            sel_c, sel_valid = jax.vmap(run_one)(cand_boxes, cand_scores, lane_thresh)
-            # outputs gather from the candidate rows (per (batch, class) lane)
-            sel_boxes = jnp.take_along_axis(
-                cand_boxes, sel_c[..., None], axis=1
-            ).reshape(b, num_cls * post, 9)
-            sel = jnp.take_along_axis(cand_idx, sel_c, axis=1).reshape(b, num_cls * post)
-            sel_valid = sel_valid.reshape(b, num_cls * post)
-            all_boxes.append(sel_boxes)
-            all_scores.append(jnp.take_along_axis(rect_scores, sel, axis=1))
-            all_labels.append(
-                jnp.broadcast_to(
-                    (label_offset + cls_ids[:, None]).astype(jnp.int32),
-                    (num_cls, post),
-                ).reshape(1, -1).repeat(b, axis=0)
+            sel_c, sel_valid = jax.vmap(run_one)(
+                cand_boxes,
+                cand_scores.reshape(b * c_tot, pre_cap),
+                lane_thresh,
             )
-            all_valid.append(sel_valid)
-            label_offset += num_cls
+            sel_c = sel_c.reshape(b, c_tot, post)
+            sel_valid = sel_valid.reshape(b, c_tot, post)
+            cand_boxes = cand_boxes.reshape(b, c_tot, pre_cap, 9)
+
+            # split results back to their task groups (original task order)
+            cls_start = 0
+            for t in group:
+                num_cls = t["num_cls"]
+                ti = t["task_id"]
+                sl = slice(cls_start, cls_start + num_cls)
+                sel_boxes = jnp.take_along_axis(
+                    cand_boxes[:, sl], sel_c[:, sl, :, None], axis=2
+                ).reshape(b, num_cls * post, 9)
+                sel = jnp.take_along_axis(
+                    cand_idx[:, sl], sel_c[:, sl], axis=2
+                ).reshape(b, num_cls * post)
+                all_boxes[ti] = sel_boxes
+                all_scores[ti] = jnp.take_along_axis(t["rect_scores"], sel, axis=1)
+                all_labels[ti] = (
+                    jnp.broadcast_to(
+                        (label_offsets[ti] + jnp.arange(num_cls)[:, None]).astype(
+                            jnp.int32
+                        ),
+                        (num_cls, post),
+                    )
+                    .reshape(1, -1)
+                    .repeat(b, axis=0)
+                )
+                all_valid[ti] = sel_valid[:, sl].reshape(b, num_cls * post)
+                cls_start += num_cls
 
         return {
             "box3d_lidar": jnp.concatenate(all_boxes, axis=1),

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Derive safe compact-table capacities from measured occupancy.
+
+The static-shape pipeline pays per-frame cost proportional to the table
+CAPACITIES, not the frames' true occupancy (98304 -> 73728 pillar caps is
++5% end-to-end inference; 98k -> 64k cut B=8 train features 40%).  The
+reference never faces this choice — torch.unique sizes everything per frame
+(reference det3d/models/readers/pillar_encoder.py:109-111) — so capacities
+are THE tuning knob this framework adds, guarded by loud overflow telemetry
+in training and by AdaptivePredictor's overflow-repair in serving.
+
+This tool replays frames on the HOST (numpy only — no chip needed), tracks
+per-stage active-set sizes through the exact active-set transfer functions
+of the backbone (SubM preserves the set; strided SparseConv dilates it by a
+k x k max-pool at stride s — ops/sparse_down.py:downsample_active_set), and
+prints recommended `reader.pillar_capacity` / `backbone.stage_capacity_frac`
+with a configurable safety margin.
+
+Usage:
+  python tools/calibrate_capacity.py --config <experiment.yaml> \
+      [--frames 32] [--points 200000] [--margin 1.3] [--root-path <dataset>]
+
+Without --root-path, frames are synthetic beam-structured scenes
+(pillarnext_tpu/utils/synth.py) — the same occupancy regime as bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def pool_or(occ: np.ndarray, k: int, s: int) -> np.ndarray:
+    """Binary max-pool (k x k window, stride s, pad k//2) of a 2-D occupancy
+    bitmap — the exact dilated active set of a strided sparse conv."""
+    p = k // 2
+    h, w = occ.shape
+    padded = np.zeros((h + 2 * p, w + 2 * p), bool)
+    padded[p : p + h, p : p + w] = occ
+    oh = (h + 2 * p - k) // s + 1
+    ow = (w + 2 * p - k) // s + 1
+    out = np.zeros((oh, ow), bool)
+    for dy in range(k):
+        for dx in range(k):
+            out |= padded[dy : dy + oh * s : s, dx : dx + ow * s : s]
+    return out
+
+
+def round_up(n: int, q: int = 4096) -> int:
+    return max(q, -(-n // q) * q)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--points", type=int, default=200_000)
+    ap.add_argument("--margin", type=float, default=1.3)
+    ap.add_argument("--root-path", default=None)
+    args = ap.parse_args()
+
+    from pillarnext_tpu.utils.config import load_experiment
+
+    cfg = load_experiment(args.config)
+    rd = cfg["model"]["reader"]
+    bb = cfg["model"].get("backbone", {})
+    pc = [float(v) for v in rd["pc_range"]]
+    vs = [float(v) for v in rd["voxel_size"]]
+    gw = int(round((pc[3] - pc[0]) / vs[0]))
+    gh = int(round((pc[4] - pc[1]) / vs[1]))
+    strides = [int(s) for s in bb.get("ds_layer_strides", [])]
+    kernels = [int(k) for k in bb.get("kernel_size", [3] * len(strides))]
+
+    def frames():
+        if args.root_path:
+            from pillarnext_tpu.utils import builders
+
+            dcfg = dict(cfg["data"]["val_dataset"])
+            dcfg["root_path"] = args.root_path
+            ds = builders.build_dataset(dcfg)
+            for i in range(min(args.frames, len(ds))):
+                yield np.asarray(ds[i]["points"])[:, :3]
+        else:
+            from pillarnext_tpu.utils.synth import lidar_like_points
+
+            for i in range(args.frames):
+                pts, mask = lidar_like_points(1, args.points, pc, seed=i)
+                yield pts[0][mask[0]][:, :3]
+
+    n_stage = len(strides)
+    occ_max = 0
+    stage_max = [0] * n_stage
+    for xyz in frames():
+        ix = np.floor((xyz[:, 0] - pc[0]) / vs[0]).astype(np.int64)
+        iy = np.floor((xyz[:, 1] - pc[1]) / vs[1]).astype(np.int64)
+        ok = (ix >= 0) & (ix < gw) & (iy >= 0) & (iy < gh)
+        occ = np.zeros((gh, gw), bool)
+        occ[iy[ok], ix[ok]] = True
+        occ_max = max(occ_max, int(occ.sum()))
+        for i, (k, s) in enumerate(zip(kernels, strides)):
+            if s > 1:
+                occ = pool_or(occ, k, s)
+            stage_max[i] = max(stage_max[i], int(occ.sum()))
+
+    cap = round_up(int(occ_max * args.margin))
+    print(f"frames={args.frames}  grid={gh}x{gw}")
+    print(f"max pillar occupancy: {occ_max}")
+    print(f"recommended reader.pillar_capacity: {cap}  (margin {args.margin}x)")
+    if n_stage:
+        fracs = [
+            round(min(1.0, stage_max[i] * args.margin / cap), 3)
+            for i in range(n_stage)
+        ]
+        print("per-stage max active set:", stage_max)
+        print(f"recommended backbone.stage_capacity_frac: {fracs}")
+        print(
+            "(train overflow fails loudly; serving repairs via "
+            "AdaptivePredictor — margins can be tight)"
+        )
+
+
+if __name__ == "__main__":
+    main()
