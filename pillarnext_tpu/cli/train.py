@@ -124,11 +124,16 @@ def main():
         num_workers=int(dl_cfg["val"]["num_workers"]),
     )
 
-    model = builders.build_model(cfg["model"])
+    # the train model may run a tighter compact-table capacity than serving
+    # (reader.train_pillar_capacity) — parameter shapes are identical, so
+    # both share one TrainState/checkpoint; eval runs the full capacity
+    model = builders.build_model(cfg["model"], train=True)
+    eval_model = builders.build_model(cfg["model"])
     tx, schedule = builders.build_optimizer(cfg, steps_per_epoch=len(train_loader))
 
     trainer = Trainer(
         model,
+        eval_model=eval_model,
         train_dataloader=train_loader,
         val_dataloader=val_loader,
         optimizer=tx,

@@ -59,12 +59,28 @@ class SepHead(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        if self.stride > 1:
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        only: tuple[str, ...] | None = None,
+        skip_deblock: bool = False,
+        return_feats: bool = False,
+        patch_mask=None,
+    ):
+        """``only`` restricts which branches run (candidate-sparse predict
+        evaluates dim/rot/vel on gathered 5x5 patches of the deblock output
+        instead of densely — ``skip_deblock=True`` feeds such patches
+        straight to the branches, sharing the branch params by name).
+        ``return_feats`` additionally returns the post-deblock feature map
+        the patches must be gathered from."""
+        if self.stride > 1 and not skip_deblock:
             x = ConvTransposeBlock(
                 self.head_conv, self.stride, axis_name=self.axis_name, dtype=self.dtype
             )(x, train)
-        if self.merge_branches and all(nc == 2 for _, nc in self.heads.values()):
+        if only is None and self.merge_branches and all(
+            nc == 2 for _, nc in self.heads.values()
+        ):
             names = list(self.heads.keys())
             h = nn.Conv(
                 len(names) * self.head_conv,
@@ -101,6 +117,8 @@ class SepHead(nn.Module):
             return out
         out = {}
         for name, (channels, num_conv) in self.heads.items():
+            if only is not None and name not in only:
+                continue
             out[name] = MLPHead(
                 channels,
                 num_conv,
@@ -110,8 +128,8 @@ class SepHead(nn.Module):
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 name=name,
-            )(x, train)
-        return out
+            )(x, train, mask=patch_mask)
+        return (out, x) if return_feats else out
 
 
 class MergedSepHeads(nn.Module):
@@ -235,7 +253,17 @@ class CenterHead(nn.Module):
         return "iou" in self.common_heads
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, test_cfg=None):
+        """Forward (dense branch maps), or — with ``test_cfg`` — the full
+        candidate-sparse predict: hm/reg/height[/iou] run dense (candidate
+        SELECTION reads them at every cell: score threshold, range mask, IoU
+        rectification), while dim/rot/vel are evaluated ONLY at the selected
+        candidates, on gathered (2R+1)x(2R+1) patches of the deblock output
+        (R = num_conv * k//2, the branch's receptive radius).  The patch
+        convs share the dense branches' parameters and SAME zero padding, so
+        candidate values are mathematically identical to the dense maps at
+        those cells — the flagship's 36 dim/rot/vel convs at 336^2 collapse
+        to ~10k patch evaluations."""
         x = nn.Conv(
             self.share_conv_channel, (3, 3), padding="SAME", use_bias=True,
             dtype=self.dtype, name="shared_conv",
@@ -260,7 +288,7 @@ class CenterHead(nn.Module):
             and self.num_hm_conv == 2
         )
         if uniform:
-            return MergedSepHeads(
+            outs = MergedSepHeads(
                 heads_common,
                 num_tasks=len(self.tasks),
                 hm_sizes=tuple(self.num_classes),
@@ -271,12 +299,22 @@ class CenterHead(nn.Module):
                 dtype=self.dtype,
                 name="merged",
             )(x, train)
+            return outs if test_cfg is None else self.predict(outs, test_cfg)
 
-        outs = []
+        sparse_names = ("dim", "rot", "vel")
+        candidate_sparse = (
+            test_cfg is not None
+            and not train
+            and bool(test_cfg.get("candidate_sparse_head", False))
+            and not self.merge_branches
+            and all(n in heads_common for n in sparse_names)
+        )
+
+        seps = []
         for task_id, (num_cls, stride) in enumerate(zip(self.num_classes, self.strides)):
             heads = dict(heads_common)
             heads["hm"] = (num_cls, self.num_hm_conv)
-            outs.append(
+            seps.append(
                 SepHead(
                     heads,
                     stride=int(stride),
@@ -286,9 +324,65 @@ class CenterHead(nn.Module):
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     name=f"task_{task_id}",
-                )(x, train)
+                )
             )
-        return outs
+
+        if not candidate_sparse:
+            outs = [sep(x, train) for sep in seps]
+            return outs if test_cfg is None else self.predict(outs, test_cfg)
+
+        dense_names = tuple(
+            n for n in list(heads_common) + ["hm"] if n not in sparse_names
+        )
+        partials, feats = [], []
+        for sep in seps:
+            partial, feat = sep(x, False, only=dense_names, return_feats=True)
+            partials.append(partial)
+            feats.append(feat)
+
+        # receptive radius of the deepest sparse branch: num_conv stacked
+        # 3x3 convs see (2*num_conv+1)^2; a larger patch stays exact for
+        # shallower branches (their window just sits strictly inside it)
+        rad = max(
+            int(v[1]) for n, v in self.common_heads.items() if n in sparse_names
+        )
+        p = 2 * rad + 1
+
+        def drv_fn(task_id, idx_b):
+            """dim/rot/vel at flat candidate indices, via patch evaluation
+            (raw branch outputs, f32) — same math as gathering the dense
+            maps at ``idx_b``."""
+            feat = feats[task_id]
+            b, h, w, hc = feat.shape
+            n = idx_b.shape[1]
+            r = idx_b // w
+            c = idx_b % w
+            dr, dc = np.meshgrid(
+                np.arange(-rad, rad + 1), np.arange(-rad, rad + 1), indexing="ij"
+            )
+            dr = jnp.asarray(dr.reshape(-1), idx_b.dtype)
+            dc = jnp.asarray(dc.reshape(-1), idx_b.dtype)
+            rr = r[..., None] + dr  # (b, n, P*P)
+            cc = c[..., None] + dc
+            ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+            flat = jnp.where(ok, rr * w + cc, 0).reshape(b, n * p * p)
+            rows = jax.vmap(lambda f, i: f[i])(feat.reshape(b, h * w, hc), flat)
+            patches = jnp.where(
+                ok.reshape(b, n * p * p)[..., None], rows, 0
+            ).reshape(b * n, p, p, hc)
+            # out-of-map patch positions must stay zero through every
+            # intermediate conv layer, like the dense map's SAME padding
+            pmask = ok.reshape(b * n, p, p, 1).astype(patches.dtype)
+            out = seps[task_id](
+                patches, False, only=sparse_names, skip_deblock=True,
+                patch_mask=pmask,
+            )
+            return tuple(
+                out[name][:, rad, rad, :].astype(jnp.float32).reshape(b, n, -1)
+                for name in sparse_names
+            )
+
+        return self.predict(partials, test_cfg, drv_fn=drv_fn)
 
     # ---------------- loss ----------------
 
@@ -386,8 +480,13 @@ class CenterHead(nn.Module):
 
     # ---------------- predict ----------------
 
-    def predict(self, preds_dicts, test_cfg):
+    def predict(self, preds_dicts, test_cfg, drv_fn=None):
         """Decode + per-class NMS, fixed-size output (centerhead.py:231-384).
+
+        ``drv_fn(task_id, flat_idx) -> (dim, rot, vel)`` overrides how the
+        regression values are obtained at the selected candidates (the
+        candidate-sparse head passes a patch evaluator; default gathers the
+        dense maps).
 
         All task groups sharing a map resolution are batched through ONE
         exact top-k and ONE vmapped NMS over the b*sum(C_t) lanes (the
@@ -510,12 +609,20 @@ class CenterHead(nn.Module):
                     return jax.vmap(lambda d, i: d[i])(dense, ix)
 
                 c_pos3 = gather_b(t["pos3"])
-                c_dim = jnp.exp(
-                    gather_b(preds["dim"].astype(jnp.float32).reshape(b, hw, 3))
-                )
-                c_rot = gather_b(preds["rot"].astype(jnp.float32).reshape(b, hw, 2))
+                if drv_fn is not None:
+                    raw_dim, c_rot, c_vel = drv_fn(t["task_id"], idx_b)
+                else:
+                    raw_dim = gather_b(
+                        preds["dim"].astype(jnp.float32).reshape(b, hw, 3)
+                    )
+                    c_rot = gather_b(
+                        preds["rot"].astype(jnp.float32).reshape(b, hw, 2)
+                    )
+                    c_vel = gather_b(
+                        preds["vel"].astype(jnp.float32).reshape(b, hw, 2)
+                    )
+                c_dim = jnp.exp(raw_dim)
                 c_yaw = jnp.arctan2(c_rot[..., 0:1], c_rot[..., 1:2])
-                c_vel = gather_b(preds["vel"].astype(jnp.float32).reshape(b, hw, 2))
                 boxes_parts.append(
                     jnp.concatenate([c_pos3, c_dim, c_vel, c_yaw], axis=-1).reshape(
                         b, num_cls, pre_cap, 9

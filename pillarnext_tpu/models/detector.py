@@ -41,5 +41,12 @@ class SingleStageDetector(nn.Module):
 
     def predict(self, example):
         """Eval step body: forward + decode + NMS -> fixed-size detections."""
+        cfg = self.post_processing
+        if hasattr(cfg, "get") and cfg.get("candidate_sparse_head", False):
+            # candidate-sparse head: selection-critical branches run dense,
+            # dim/rot/vel are patch-evaluated at the selected candidates
+            # only (exact; see CenterHead.__call__)
+            x = self.extract_feat(example["points"], example["points_mask"], False)
+            return self.head(x, False, test_cfg=cfg)
         preds = self(example["points"], example["points_mask"], False)
-        return self.head.predict(preds, self.post_processing)
+        return self.head.predict(preds, cfg)

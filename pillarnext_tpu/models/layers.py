@@ -247,7 +247,12 @@ class MLPHead(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
+        """``mask`` (broadcastable to x, 1 = real cell): when evaluating on
+        gathered patches that extend past the feature-map border, the
+        intermediate conv outputs at out-of-map positions must be re-zeroed
+        — the dense map's next conv reads ZERO there (SAME padding), not the
+        bias+BN+ReLU constant a conv over zeroed inputs produces."""
         for _ in range(self.num_conv - 1):
             x = nn.Conv(
                 self.head_conv,
@@ -264,6 +269,8 @@ class MLPHead(nn.Module):
                 dtype=self.dtype,
             )(x)
             x = nn.relu(x)
+            if mask is not None:
+                x = x * mask
         x = nn.Conv(
             self.out_features,
             (self.kernel_size, self.kernel_size),

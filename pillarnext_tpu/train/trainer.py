@@ -71,8 +71,12 @@ class Trainer:
         mesh=None,
         accum_steps: int = 1,
         profile_dir: str | None = None,  # jax.profiler trace of a few steps
+        eval_model=None,  # same params, different static config (e.g. the
+        #                   full serving pillar_capacity vs the tighter
+        #                   reader.train_pillar_capacity used for the step)
     ):
         self.model = model
+        self.eval_model = eval_model or model
         self.train_dataloader = train_dataloader
         self.val_dataloader = val_dataloader
         self.tx = optimizer
@@ -105,7 +109,7 @@ class Trainer:
         self._train_step = ts_lib.make_train_step(
             self.model, self.tx, self.mesh, accum_steps=self.accum_steps
         )
-        self._eval_step = ts_lib.make_eval_step(self.model, self.mesh)
+        self._eval_step = ts_lib.make_eval_step(self.eval_model, self.mesh)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params))
         self.logger.info("model parameters: %.2fM", n_params / 1e6)
         return self.state

@@ -35,17 +35,30 @@ def enable_compile_cache(jax_module=None) -> None:
     jax_module.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
-def build_model(model_cfg: dict):
+def build_model(model_cfg: dict, train: bool = False):
     """Instantiate the detector flax module from the resolved model config.
 
     ``model.dtype`` ('bfloat16' | 'float32', default bfloat16) selects the
     activation/compute dtype for every submodule; BatchNorm statistics and
     the decode/NMS path stay float32 regardless.
+
+    ``train=True`` applies ``reader.train_pillar_capacity`` (when set) in
+    place of ``pillar_capacity``: every gather conv and table build costs
+    O(capacity) regardless of occupancy, so training — whose occupancy
+    ceiling is known from the dataset (tools/calibrate_capacity.py) — runs
+    a tighter table than serving's worst-case bucket.  Parameter shapes
+    never depend on table capacity, so one checkpoint/TrainState serves
+    both models; the overflow telemetry makes an undersized value fail
+    loudly (train/trainer.py:_check_overflow), never silently truncate.
     """
     import jax.numpy as jnp
 
     cfg = copy.deepcopy(model_cfg)
     cfg.pop("sync_batchnorm", None)  # implicit under global-view jit
+    if isinstance(cfg.get("reader"), dict):
+        train_cap = cfg["reader"].pop("train_pillar_capacity", None)
+        if train and train_cap:
+            cfg["reader"]["pillar_capacity"] = int(train_cap)
     dtype_name = cfg.pop("dtype", "bfloat16")
     dtype = {"bfloat16": jnp.bfloat16, "float32": None, None: None}[dtype_name]
     if dtype is not None:

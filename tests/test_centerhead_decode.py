@@ -90,3 +90,61 @@ class TestDecode:
         cfg = dict(TEST_CFG, post_center_limit_range=[5, 5, 5, 6, 6, 6])
         dets = HEAD.predict([_preds()], cfg)
         assert int(np.asarray(dets["valid"]).sum()) == 0
+
+
+class TestCandidateSparseHead:
+    def test_matches_dense_predict(self):
+        """candidate_sparse_head=true: dim/rot/vel patch evaluation at the
+        selected candidates reproduces the dense predict exactly (same
+        branch params, SAME zero padding — incl. map-edge candidates)."""
+        import jax
+
+        head = CenterHead(
+            in_channels=8,
+            tasks=[["car"], ["ped", "cone"]],
+            weight=0.25,
+            code_weights=[1.0] * 10,
+            common_heads={
+                "reg": (2, 2), "height": (1, 2), "dim": (3, 2),
+                "rot": (2, 2), "vel": (2, 2),
+            },
+            strides=[2, 2],
+            rectifier=[[0.5], [0.5, 0.5]],
+            voxel_size=[0.1, 0.1, 8],
+            pc_range=[-0.8, -0.8, -2, 0.8, 0.8, 2],
+            out_size_factor=[2, 2],
+            share_conv_channel=16,
+        )
+        cfg = {
+            "post_center_limit_range": [-10, -10, -10, 10, 10, 10],
+            "nms": {
+                "nms_pre_max_size": 16,
+                "nms_post_max_size": 4,
+                # threshold > 1: nothing suppressed, so the selected set is
+                # pure score order — identical by construction (scores never
+                # touch dim/rot/vel), and the comparison below checks the
+                # patch-evaluated regression values themselves rather than
+                # NMS decisions that float-noise near a tie could flip
+                "nms_iou_threshold": [[2.0], [2.0, 2.0]],
+            },
+            "score_threshold": 0.0,  # every cell is a candidate (edges too)
+            "pc_range": [-0.8, -0.8, -2, 0.8, 0.8, 2],
+            "voxel_size": [0.1, 0.1, 8],
+            "out_size_factor": [2, 2],
+        }
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 6, 8), jnp.float32)
+        variables = head.init(jax.random.PRNGKey(0), x)
+
+        preds = head.apply(variables, x, False)
+        dense = head.predict(preds, cfg)
+        sparse = head.apply(
+            variables, x, False, dict(cfg, candidate_sparse_head=True)
+        )
+
+        for k in ("box3d_lidar", "scores", "label_preds", "valid"):
+            np.testing.assert_allclose(
+                np.asarray(dense[k], np.float32),
+                np.asarray(sparse[k], np.float32),
+                atol=1e-5,
+                err_msg=k,
+            )

@@ -162,3 +162,53 @@ class TestExperimentConfigs:
         assert cfg["data"]["train_dataset"]["drop_frames"] == 0
         base = load_experiment(CONFIG_DIR / "waymo_det_pp18_aspp_iou_car_sp.yaml")
         assert base["data"]["train_dataset"]["nsweeps"] == 3
+
+
+class TestTrainCapacityKnob:
+    def test_train_capacity_applies_only_to_train_model(self):
+        """reader.train_pillar_capacity sizes the TRAIN model's compact
+        table; the eval/serving model keeps the full pillar_capacity; both
+        produce identical parameter trees (one checkpoint serves both)."""
+        import jax
+        import jax.numpy as jnp
+
+        cfg = load_experiment(CONFIG_DIR / "nusc_det_pp18_aspp_iou_sp.yaml")
+        mc = cfg["model"]
+        assert int(mc["reader"]["train_pillar_capacity"]) < int(
+            mc["reader"]["pillar_capacity"]
+        )
+        train_model = builders.build_model(mc, train=True)
+        eval_model = builders.build_model(mc)
+        assert train_model.reader.pillar_capacity == int(
+            mc["reader"]["train_pillar_capacity"]
+        )
+        assert eval_model.reader.pillar_capacity == int(
+            mc["reader"]["pillar_capacity"]
+        )
+
+        # parameter shapes are capacity-independent: init a TINY twin pair
+        # (same code path, small grid) and compare the param trees
+        import copy
+
+        small = copy.deepcopy(mc)
+        small["reader"].update(
+            {
+                "voxel_size": [0.4, 0.4, 8.0],
+                "pc_range": [-6.4, -6.4, -5.0, 6.4, 6.4, 3.0],
+                "pillar_capacity": 512,
+                "train_pillar_capacity": 256,
+            }
+        )
+        small["post_processing"]["pc_range"] = small["reader"]["pc_range"]
+        small["post_processing"]["voxel_size"] = small["reader"]["voxel_size"]
+        small["head"]["pc_range"] = small["reader"]["pc_range"]
+        small["head"]["voxel_size"] = small["reader"]["voxel_size"]
+        tm = builders.build_model(small, train=True)
+        em = builders.build_model(small)
+        pts = jnp.zeros((1, 64, 5), jnp.float32)
+        msk = jnp.zeros((1, 64), bool)
+        vt = tm.init(jax.random.PRNGKey(0), pts, msk)
+        ve = em.init(jax.random.PRNGKey(0), pts, msk)
+        st = jax.tree.map(lambda a: a.shape, vt["params"])
+        se = jax.tree.map(lambda a: a.shape, ve["params"])
+        assert st == se
