@@ -44,6 +44,13 @@ from pillarnext_tpu.ops.subm_conv import (
     subm_offsets_2d,
     subm_offsets_3d,
 )
+from pillarnext_tpu.ops.tile_subm import (
+    build_tile_map,
+    pack_stack,
+    stack_to_dense,
+    tile_conv,
+    unpack_stack,
+)
 
 
 class _SubMConv(nn.Module):
@@ -272,6 +279,99 @@ class _SparseStage(nn.Module):
         return x
 
 
+class _TileConv(nn.Module):
+    """Tile-stack SubM conv parameter holder; kernel stored HWIO exactly like
+    nn.Conv so dense/sparse/tile checkpoints are interchangeable
+    (ops/tile_subm.py)."""
+
+    features: int
+    kernel_size: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, stack, nbr):
+        cin = stack.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, cin, self.features),
+        )
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+        return tile_conv(stack, nbr, kernel)
+
+
+class TileConvBlock(nn.Module):
+    """Tile-stack twin of SparseConvBlock: SubM conv over active tiles +
+    masked BN + ReLU, inactive cells re-zeroed (spconv active-set
+    semantics; reference sparse_conv.py:16-39)."""
+
+    features: int
+    kernel_size: int = 3
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, stack, out_mask, nbr, train: bool = False):
+        x = _TileConv(self.features, self.kernel_size, self.dtype, name="Conv_0")(
+            stack, nbr
+        )
+        x = MaskedBatchNorm(
+            axis_name=self.axis_name, dtype=self.dtype, name="BatchNorm_0"
+        )(x, out_mask, train)
+        return jnp.where(out_mask[..., None], nn.relu(x), 0.0)
+
+
+class TileResidualBlock(nn.Module):
+    """Tile-stack twin of SparseResidualBlock (reference sparse_conv.py:42-63)."""
+
+    features: int
+    kernel_size: int = 3
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, stack, out_mask, nbr, train: bool = False):
+        identity = stack
+        x = TileConvBlock(
+            self.features, self.kernel_size, self.axis_name, self.dtype,
+            name="ConvBlock_0",
+        )(stack, out_mask, nbr, train)
+        x = _TileConv(self.features, self.kernel_size, self.dtype, name="Conv_0")(
+            x, nbr
+        )
+        x = MaskedBatchNorm(
+            axis_name=self.axis_name, dtype=self.dtype, name="BatchNorm_0"
+        )(x, out_mask, train)
+        return jnp.where(out_mask[..., None], nn.relu(x + identity), 0.0)
+
+
+class _TileStage(nn.Module):
+    """One stride-1 backbone stage over the active-tile stack, with the same
+    param tree (down + block_j) as the dense _Stage / sparse _SparseStage."""
+
+    features: int
+    kernel_size: int
+    num_blocks: int
+    axis_name: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, stack, out_mask, nbr, train: bool = False):
+        conv_cls = nn.remat(TileConvBlock, static_argnums=(4,)) if train else TileConvBlock
+        res_cls = nn.remat(TileResidualBlock, static_argnums=(4,)) if train else TileResidualBlock
+        stack = conv_cls(
+            self.features, self.kernel_size,
+            axis_name=self.axis_name, dtype=self.dtype, name="down",
+        )(stack, out_mask, nbr, train)
+        for j in range(self.num_blocks):
+            stack = res_cls(
+                self.features, self.kernel_size,
+                axis_name=self.axis_name, dtype=self.dtype, name=f"block_{j}",
+            )(stack, out_mask, nbr, train)
+        return stack
+
+
 class _Stage(nn.Module):
     """One backbone stage: strided ConvBlock + residual blocks.
 
@@ -364,6 +464,15 @@ class SparseResNet(nn.Module):
     # (measured 55 vs 96 ms features at B=1 flagship).
     sparse_stages_train: str = "all"
     sparse_stages_eval: str = "leading"
+    # 'tile' stages_mode / tile_stride1: run stride-1 (SubM) stages over the
+    # active-TILE stack instead of per-site gather convs (ops/tile_subm.py):
+    # the halo gather costs ~9 x n_tiles descriptors per conv instead of
+    # ~6 x n_sites, and the stage's dense image is never materialized.
+    # 'tile' as stages_mode = tile prefix + [masked-]dense tail;
+    # tile_stride1=True = 'all' mode with its stride-1 stages tiled.
+    tile_size: int = 8
+    tile_capacity: int = 12288  # active-tile slots per sample at full res
+    tile_stride1: bool = False
     # per-stage compact capacities for sparse_stages='all' as fractions of
     # the input capacity, clamped to the stage's grid size.  Must cover the
     # DILATED active set (see sparse_stages caveat); defaults assume beam-
@@ -406,7 +515,10 @@ class SparseResNet(nn.Module):
                 return self._all_sparse(sb, train)
             if use_sparse and stages_mode == "leading+down":
                 return self._leading_down(sb, train)
-            if n_sparse and use_sparse:
+            if n_sparse and use_sparse and stages_mode == "tile":
+                x = self._tile_prefix(sb, n_sparse, train)
+                start = n_sparse
+            elif n_sparse and use_sparse:
                 nbr = build_neighbor_table(
                     sb.slot_of_dense,
                     sb.slot_id,
@@ -483,6 +595,43 @@ class SparseResNet(nn.Module):
         )(x, train, None if mask is None else full_mask(mask, self.out_channels))
         return x
 
+    def _tile_map_for(self, sod, slot_id, batch, spatial, site_cap, frac=1.0):
+        """Build + telemetrize a TileMap at one resolution (overflowed tiles
+        drop their sites — the trainer raises on nonzero overflow, serving
+        repairs at a bigger bucket, like every other capacity)."""
+        h, w = spatial
+        t = self.tile_size
+        n_cells = batch * (h // t) * (w // t)
+        cap = min(max(int(self.tile_capacity * batch * frac), 256), n_cells)
+        tm = build_tile_map(sod, slot_id, batch, spatial, site_cap, t, cap)
+        if not self.is_initializing():
+            self.sow("telemetry", f"tiles{h}_active", tm.n_tiles)
+            self.sow(
+                "telemetry",
+                f"tiles{h}_overflow",
+                jnp.maximum(tm.n_tiles - cap, 0),
+            )
+        return tm
+
+    def _tile_prefix(self, sb: SparseBEV, n_sparse: int, train: bool):
+        """Run the leading stride-1 stages over the active-tile stack and
+        densify once (whole-tile scatter + relayout — no 1.8M-descriptor
+        gather)."""
+        tm = self._tile_map_for(
+            sb.slot_of_dense, sb.slot_id, sb.batch, sb.spatial, sb.capacity
+        )
+        stack = pack_stack(sb.table, tm)
+        for i in range(n_sparse):
+            stack = _TileStage(
+                self.ds_num_filters[i],
+                self.kernel_size[i],
+                self.layer_nums[i],
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                name=f"stage_{i}",
+            )(stack, tm.out_mask, tm.nbr, train)
+        return stack_to_dense(stack, tm)
+
     def _all_sparse(self, sb: SparseBEV, train: bool):
         """Whole backbone over compact tables (spconv-exact, no masks):
         SubM stride-1 stages, set-dilating strided downsamples, SubM 1x1
@@ -497,6 +646,19 @@ class SparseResNet(nn.Module):
         for i, num_blocks in enumerate(self.layer_nums):
             k, s, f = self.kernel_size[i], self.ds_layer_strides[i], self.ds_num_filters[i]
             if s == 1:
+                if self.tile_stride1 and len(spatial) == 2 and k == 3:
+                    tm = self._tile_map_for(
+                        sod, slot_id, batch, spatial, valid.shape[0],
+                        frac=float(self.stage_capacity_frac[i]),
+                    )
+                    stack = pack_stack(table, tm)
+                    stack = _TileStage(
+                        f, k, num_blocks,
+                        axis_name=self.axis_name, dtype=self.dtype,
+                        name=f"stage_{i}",
+                    )(stack, tm.out_mask, tm.nbr, train)
+                    table = unpack_stack(stack, tm)
+                    continue
                 nbr = build_neighbor_table(
                     sod, slot_id, spatial, subm_offsets_2d(k), valid.shape[0]
                 )

@@ -1,0 +1,297 @@
+"""Tile-based (block-sparse) submanifold convolution.
+
+A second TPU formulation of spconv's SubMConv2d (reference
+det3d/models/utils/sparse_conv.py:16-63) complementing ops/subm_conv.py:
+instead of gathering the K neighbors of every active SITE (descriptor-rate
+bound: XLA's row gather tops out near ~230M descriptors/s, which prices a
+9-tap conv over a 98k-site table at ~2.7 ms), the active set is covered by
+8x8 TILES and the convolution runs as a dense VALID conv over the tile
+stack:
+
+    dense (B,H,W,C) grid  ->  stack (T, 8, 8, C) of ACTIVE tiles
+    halo_gather: stack -> (T, 10, 10, C)   [8 edge/corner gathers, T descriptors each]
+    y = conv_VALID(halo, W) * active_mask  [MXU; zero inactive cells after BN]
+
+Beam-structured LiDAR at the flagship 1344^2 grid occupies ~65k sites in
+~11k tiles (6 sites/tile): the tile stack computes ~10x the active sites'
+FLOPs — still <0.3 ms of MXU — while the gather cost collapses from
+~600k row descriptors per conv to ~9 x 11k tile-part descriptors, and the
+dense image is never materialized between convs.
+
+Exactness: identical to SubM on the active set.  Inactive cells inside
+active tiles hold exact zeros (the block re-zeroes them after BN, mirroring
+SparseConvBlock's ``jnp.where(valid)``), inactive TILES are reached only
+through the halo of their active neighbors and contribute the dump tile's
+zeros, and outputs are re-masked to the active set.
+
+``halo_gather`` carries a custom VJP: its transpose is a scatter-add whose
+indices duplicate only at the dump tile, so it is decomposed into 9
+per-part scatters with shadow rows — each parallel (unique indices), no
+serializing scatter-add.  The conv itself is ``lax.conv`` (XLA's own
+grads).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TileMap(NamedTuple):
+    """Active-tile index structures for one (batch, H, W) grid."""
+
+    tile_sod: jnp.ndarray   # (B*TH*TW,) int32 dense tile id -> tile slot, cap if empty
+    tile_id: jnp.ndarray    # (cap,) int32 dense tile id per slot (B*TH*TW if unused)
+    nbr: jnp.ndarray        # (cap, 9) int32 3x3 tile-neighborhood slots (cap = none)
+    out_mask: jnp.ndarray   # (cap, t, t) bool — active SITES within each tile slot
+    row_of_slot: jnp.ndarray  # (site_cap,) int32 stack-flat row of each pillar slot
+    n_tiles: jnp.ndarray    # () int32 true active-tile count (overflow telemetry)
+    batch: int
+    spatial: tuple          # (H, W)
+    tile: int
+    cap: int
+
+
+def build_tile_map(
+    slot_of_dense: jnp.ndarray,
+    slot_id: jnp.ndarray,
+    batch: int,
+    spatial: tuple,
+    site_cap: int,
+    tile: int,
+    tile_cap: int,
+) -> TileMap:
+    """Cover the active set with fixed-size tiles (sort-free).
+
+    Tile slots are assigned by a cumsum over the dense tile-occupancy flags
+    (row-major order) — no sort: the tile grid is only (H/t)*(W/t) cells.
+
+    Args:
+        slot_of_dense: (B*H*W,) int32 pillar-level dense -> slot (``site_cap``
+            where empty) — from ops/compact.py.
+        slot_id: (site_cap,) int32 dense position of each pillar slot.
+        site_cap: pillar table capacity.
+        tile: tile side (grid dims must divide by it).
+        tile_cap: static number of tile slots; tiles ranked beyond it (by
+            dense order) are DROPPED — callers must surface ``n_tiles`` as
+            overflow telemetry.
+    """
+    h, w = spatial
+    assert h % tile == 0 and w % tile == 0, (spatial, tile)
+    th, tw = h // tile, w // tile
+    n_tile_cells = batch * th * tw
+
+    occ = slot_of_dense < site_cap  # (B*H*W,)
+    occ_tile = (
+        occ.reshape(batch, th, tile, tw, tile).any(axis=(2, 4)).reshape(-1)
+    )  # (B*TH*TW,)
+
+    ranks = jnp.cumsum(occ_tile.astype(jnp.int32)) - 1
+    n_tiles = ranks[-1] + 1
+    tile_sod = jnp.where(occ_tile & (ranks < tile_cap), ranks, tile_cap)
+
+    # tile slot -> dense tile id (unique scatter via shadow rows)
+    shadow = tile_cap + 1 + jnp.arange(n_tile_cells, dtype=jnp.int32)
+    target = jnp.where(tile_sod < tile_cap, tile_sod, shadow)
+    tile_id = jnp.full((tile_cap + 1 + n_tile_cells,), n_tile_cells, jnp.int32)
+    tile_id = tile_id.at[target].set(
+        jnp.arange(n_tile_cells, dtype=jnp.int32), unique_indices=True
+    )[:tile_cap]
+
+    from pillarnext_tpu.ops.subm_conv import build_neighbor_table, subm_offsets_2d
+
+    nbr = build_neighbor_table(
+        tile_sod, tile_id, (th, tw), subm_offsets_2d(3), tile_cap
+    )
+
+    # active-site mask per tile slot: dense occupancy re-laid out by tile,
+    # then one row gather (tile_cap descriptors)
+    occ_tiled = (
+        occ.reshape(batch, th, tile, tw, tile)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n_tile_cells, tile, tile)
+    )
+    safe_tid = jnp.minimum(tile_id, n_tile_cells - 1)
+    out_mask = jnp.where(
+        (tile_id < n_tile_cells)[:, None, None], occ_tiled[safe_tid], False
+    )
+
+    # pillar slot -> stack-flat row (tile_slot * t*t + local), dump rows for
+    # invalid slots (distinct rows so the pack scatter stays unique)
+    hw = h * w
+    d = slot_id.astype(jnp.int32)
+    valid_slot = d < batch * hw
+    d_safe = jnp.where(valid_slot, d, 0)
+    b = d_safe // hw
+    r = (d_safe % hw) // w
+    c = d_safe % w
+    tid = b * (th * tw) + (r // tile) * tw + (c // tile)
+    tslot = tile_sod[tid]
+    local = (r % tile) * tile + (c % tile)
+    n_rows = tile_cap * tile * tile
+    row = jnp.where(
+        valid_slot & (tslot < tile_cap),
+        tslot * (tile * tile) + local,
+        n_rows + jnp.arange(site_cap, dtype=jnp.int32),  # shadow dump rows
+    )
+    return TileMap(
+        tile_sod, tile_id, nbr, out_mask, row, n_tiles, batch, (h, w), tile, tile_cap
+    )
+
+
+def pack_stack(table: jnp.ndarray, tm: TileMap) -> jnp.ndarray:
+    """Compact pillar table (site_cap[+1], C) -> tile stack (cap, t, t, C).
+
+    One unique-index scatter of site_cap rows; cells without an active
+    pillar are exact zeros.
+    """
+    t, cap = tm.tile, tm.cap
+    site_cap = tm.row_of_slot.shape[0]
+    c = table.shape[-1]
+    buf = jnp.zeros((cap * t * t + site_cap, c), table.dtype)
+    buf = buf.at[tm.row_of_slot].set(table[:site_cap], unique_indices=True)
+    return buf[: cap * t * t].reshape(cap, t, t, c)
+
+
+def unpack_stack(stack: jnp.ndarray, tm: TileMap) -> jnp.ndarray:
+    """Tile stack -> compact pillar table (site_cap, C) (one row gather)."""
+    t, cap = tm.tile, tm.cap
+    c = stack.shape[-1]
+    flat = jnp.concatenate(
+        [stack.reshape(cap * t * t, c), jnp.zeros((1, c), stack.dtype)], axis=0
+    )
+    rows = jnp.minimum(tm.row_of_slot, cap * t * t)  # shadow rows -> zero row
+    return flat[rows]
+
+
+def stack_to_dense(stack: jnp.ndarray, tm: TileMap) -> jnp.ndarray:
+    """Tile stack -> dense (B, H, W, C): one unique scatter of whole tiles
+    (cap descriptors) + one relayout transpose — replaces the 1.8M-descriptor
+    dense gather of ops/densify.py when the features already live in tiles."""
+    t, cap = tm.tile, tm.cap
+    h, w = tm.spatial
+    th, tw = h // t, w // t
+    n_cells = tm.batch * th * tw
+    c = stack.shape[-1]
+    shadow = n_cells + jnp.arange(cap, dtype=jnp.int32)
+    target = jnp.where(tm.tile_id < n_cells, tm.tile_id, shadow)
+    buf = jnp.zeros((n_cells + cap, t, t, c), stack.dtype)
+    buf = buf.at[target].set(stack, unique_indices=True)
+    return (
+        buf[:n_cells]
+        .reshape(tm.batch, th, tw, t, t, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(tm.batch, h, w, c)
+    )
+
+
+# ---------------------------------------------------------------------------
+# halo gather with a parallel-transpose custom VJP
+# ---------------------------------------------------------------------------
+
+# (part, dy, dx): source subblock of the neighbor at offset k and its
+# destination in the (t+2, t+2) halo.  k indexes subm_offsets_2d(3):
+# 0=(-1,-1) 1=(-1,0) 2=(-1,+1) 3=(0,-1) 4=(0,0) 5=(0,+1) 6=(+1,-1) 7=(+1,0) 8=(+1,+1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def halo_gather(stack: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
+    """(cap, t, t, C) active-tile stack -> (cap, t+2, t+2, C) haloed tiles.
+
+    Inactive neighbors (nbr == cap) read an implicit zero dump tile.
+    """
+    return _halo_fwd_impl(stack, nbr)
+
+
+def _halo_fwd_impl(stack, nbr):
+    cap, t, _, c = stack.shape
+    z = jnp.zeros((1, t, t, c), stack.dtype)
+    s = jnp.concatenate([stack, z], axis=0)  # dump tile
+    out = jnp.zeros((cap, t + 2, t + 2, c), stack.dtype)
+    out = out.at[:, 1 : t + 1, 1 : t + 1].set(stack)
+    # edges: the neighbor's facing row/column
+    out = out.at[:, 0, 1 : t + 1].set(s[nbr[:, 1], t - 1])        # N
+    out = out.at[:, t + 1, 1 : t + 1].set(s[nbr[:, 7], 0])        # S
+    out = out.at[:, 1 : t + 1, 0].set(s[nbr[:, 3], :, t - 1])     # W
+    out = out.at[:, 1 : t + 1, t + 1].set(s[nbr[:, 5], :, 0])     # E
+    # corners: the diagonal neighbor's facing cell
+    out = out.at[:, 0, 0].set(s[nbr[:, 0], t - 1, t - 1])         # NW
+    out = out.at[:, 0, t + 1].set(s[nbr[:, 2], t - 1, 0])         # NE
+    out = out.at[:, t + 1, 0].set(s[nbr[:, 6], 0, t - 1])         # SW
+    out = out.at[:, t + 1, t + 1].set(s[nbr[:, 8], 0, 0])         # SE
+    return out
+
+
+def _halo_fwd(stack, nbr):
+    return _halo_fwd_impl(stack, nbr), nbr
+
+
+def _part_scatter(g_part, idx, cap, shape, dtype):
+    """Transpose of one part-gather: scatter ``g_part`` rows to tile ``idx``.
+
+    ``idx`` is injective over valid tiles (each tile has at most one
+    neighbor at a fixed offset); invalid (== cap) entries are routed to
+    distinct shadow rows so the scatter keeps unique indices.
+    """
+    n = idx.shape[0]
+    shadow = cap + jnp.arange(n, dtype=idx.dtype)
+    target = jnp.where(idx < cap, idx, shadow)
+    buf = jnp.zeros((cap + n, *shape), dtype)
+    return buf.at[target].set(g_part, unique_indices=True)[:cap]
+
+
+def _halo_bwd(nbr, g):
+    cap = nbr.shape[0]
+    t = g.shape[1] - 2
+    c = g.shape[-1]
+    dtype = g.dtype
+    dx = g[:, 1 : t + 1, 1 : t + 1]
+    # per part: forward read s[nbr[:,k], <src>] into halo <dst>; transpose
+    # scatters g[:, <dst>] back to rows nbr[:,k] at <src>.
+    dn = _part_scatter(g[:, 0, 1 : t + 1], nbr[:, 1], cap, (t, c), dtype)
+    ds = _part_scatter(g[:, t + 1, 1 : t + 1], nbr[:, 7], cap, (t, c), dtype)
+    dw = _part_scatter(g[:, 1 : t + 1, 0], nbr[:, 3], cap, (t, c), dtype)
+    de = _part_scatter(g[:, 1 : t + 1, t + 1], nbr[:, 5], cap, (t, c), dtype)
+    dnw = _part_scatter(g[:, 0, 0], nbr[:, 0], cap, (c,), dtype)
+    dne = _part_scatter(g[:, 0, t + 1], nbr[:, 2], cap, (c,), dtype)
+    dsw = _part_scatter(g[:, t + 1, 0], nbr[:, 6], cap, (c,), dtype)
+    dse = _part_scatter(g[:, t + 1, t + 1], nbr[:, 8], cap, (c,), dtype)
+    dx = dx.at[:, t - 1, :].add(dn)
+    dx = dx.at[:, 0, :].add(ds)
+    dx = dx.at[:, :, t - 1].add(dw)
+    dx = dx.at[:, :, 0].add(de)
+    dx = dx.at[:, t - 1, t - 1].add(dnw)
+    dx = dx.at[:, t - 1, 0].add(dne)
+    dx = dx.at[:, 0, t - 1].add(dsw)
+    dx = dx.at[:, 0, 0].add(dse)
+    return dx, None
+
+
+halo_gather.defvjp(_halo_fwd, _halo_bwd)
+
+
+def tile_conv(
+    stack: jnp.ndarray, nbr: jnp.ndarray, kernel: jnp.ndarray, precision=None
+) -> jnp.ndarray:
+    """SubM conv over the tile stack: halo -> dense VALID conv (MXU).
+
+    ``kernel``: (kh, kw, Cin, Cout) with kh == kw == 3 (the halo is 1).
+    Output is NOT re-masked here — blocks re-zero inactive cells after BN
+    (mirroring SparseConvBlock), which also keeps pre-BN values at inactive
+    cells irrelevant.
+    """
+    kh, kw = kernel.shape[:2]
+    assert kh == 3 and kw == 3, "tile halo of 1 supports 3x3 kernels"
+    halo = halo_gather(stack, nbr)
+    return jax.lax.conv_general_dilated(
+        halo,
+        kernel,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+    )
