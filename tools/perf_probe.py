@@ -44,6 +44,11 @@ if os.environ.get("PNX_STAGE_FRACS"):
     cfg["model"]["backbone"]["stage_capacity_frac"] = [
         float(f) for f in os.environ["PNX_STAGE_FRACS"].split(",")
     ]
+if os.environ.get("PNX_TILE"):
+    # stride-1 stages over the active-tile stack (ops/tile_subm.py)
+    cfg["model"]["backbone"]["tile_stride1"] = True
+if os.environ.get("PNX_TILE_CAP"):
+    cfg["model"]["backbone"]["tile_capacity"] = int(os.environ["PNX_TILE_CAP"])
 if os.environ.get("PNX_BATCH_CAP"):
     # per-sample pillar capacity override: the default scales capacities
     # linearly with B; at large B real scenes never fill that (diagnostic
