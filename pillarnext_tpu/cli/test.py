@@ -51,6 +51,8 @@ def main():
 
     trainer = Trainer(
         model,
+        eval_model_cfg=cfg["model"],
+        eval_overflow=str(cfg.get("trainer", {}).get("eval_overflow", "repair")),
         val_dataloader=val_loader,
         optimizer=tx,
         lr_schedule=schedule,

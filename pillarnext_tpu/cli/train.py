@@ -134,6 +134,8 @@ def main():
     trainer = Trainer(
         model,
         eval_model=eval_model,
+        eval_model_cfg=cfg["model"],
+        eval_overflow=str(cfg["trainer"].get("eval_overflow", "repair")),
         train_dataloader=train_loader,
         val_dataloader=val_loader,
         optimizer=tx,

@@ -595,20 +595,28 @@ class SparseResNet(nn.Module):
         )(x, train, None if mask is None else full_mask(mask, self.out_channels))
         return x
 
-    def _tile_map_for(self, sod, slot_id, batch, spatial, site_cap, frac=1.0):
+    def _tile_map_for(self, sod, slot_id, batch, spatial, site_cap, frac=1.0,
+                      tag="prefix"):
         """Build + telemetrize a TileMap at one resolution (overflowed tiles
-        drop their sites — the trainer raises on nonzero overflow, serving
-        repairs at a bigger bucket, like every other capacity)."""
+        drop their sites — the trainer raises on nonzero overflow).
+
+        ``tile_capacity <= 0`` means the FULL tile grid (cannot overflow);
+        serving sets this on its largest bucket so overflow repair is
+        guaranteed exact for the tile capacity too, and scales the cap
+        proportionally on smaller buckets (serving.py)."""
         h, w = spatial
         t = self.tile_size
         n_cells = batch * (h // t) * (w // t)
-        cap = min(max(int(self.tile_capacity * batch * frac), 256), n_cells)
+        if self.tile_capacity <= 0:
+            cap = n_cells
+        else:
+            cap = min(max(int(self.tile_capacity * batch * frac), 256), n_cells)
         tm = build_tile_map(sod, slot_id, batch, spatial, site_cap, t, cap)
         if not self.is_initializing():
-            self.sow("telemetry", f"tiles{h}_active", tm.n_tiles)
+            self.sow("telemetry", f"{tag}_tiles{h}_active", tm.n_tiles)
             self.sow(
                 "telemetry",
-                f"tiles{h}_overflow",
+                f"{tag}_tiles{h}_overflow",
                 jnp.maximum(tm.n_tiles - cap, 0),
             )
         return tm
@@ -617,6 +625,15 @@ class SparseResNet(nn.Module):
         """Run the leading stride-1 stages over the active-tile stack and
         densify once (whole-tile scatter + relayout — no 1.8M-descriptor
         gather)."""
+        if len(sb.spatial) != 2 or any(
+            self.kernel_size[i] != 3 for i in range(n_sparse)
+        ):
+            raise ValueError(
+                "sparse_stages='tile' requires a 2-D BEV grid and 3x3 "
+                f"stride-1 kernels (got spatial={tuple(sb.spatial)}, "
+                f"kernel_size={tuple(self.kernel_size[:n_sparse])}); use "
+                "sparse_stages='leading' for this configuration"
+            )
         tm = self._tile_map_for(
             sb.slot_of_dense, sb.slot_id, sb.batch, sb.spatial, sb.capacity
         )
@@ -650,6 +667,7 @@ class SparseResNet(nn.Module):
                     tm = self._tile_map_for(
                         sod, slot_id, batch, spatial, valid.shape[0],
                         frac=float(self.stage_capacity_frac[i]),
+                        tag=f"stage{i}",
                     )
                     stack = pack_stack(table, tm)
                     stack = _TileStage(

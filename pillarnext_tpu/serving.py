@@ -88,7 +88,25 @@ class AdaptivePredictor:
                 from pillarnext_tpu.utils import builders
 
                 cfg = copy.deepcopy(self.model_cfg)
+                max_cap = int(cfg["reader"].get("pillar_capacity", 131072))
                 cfg["reader"]["pillar_capacity"] = bucket
+                bb = cfg.get("backbone")
+                if isinstance(bb, dict) and (
+                    bb.get("sparse_stages_eval") == "tile"
+                    or bb.get("tile_stride1")
+                ):
+                    # the tile capacity must track the bucket too: scale it
+                    # proportionally below the max bucket, and use the FULL
+                    # tile grid (<=0 sentinel, resnet._tile_map_for) at the
+                    # max bucket so an overflow repair is guaranteed exact
+                    # for the tile capacity as well as the site capacity
+                    if bucket >= max_cap:
+                        bb["tile_capacity"] = 0
+                    else:
+                        tc = int(bb.get("tile_capacity", 12288))
+                        bb["tile_capacity"] = max(
+                            256, -(-tc * bucket // max_cap)
+                        )
                 model = builders.build_model(cfg)
 
             @jax.jit
@@ -138,7 +156,9 @@ class AdaptivePredictor:
                 if int(np.asarray(ov)) > 0:
                     raise RuntimeError(
                         "active set overflows even the largest capacity "
-                        f"bucket ({max_bucket}); raise reader.pillar_capacity"
+                        f"bucket ({max_bucket}); raise reader.pillar_capacity "
+                        "(or backbone.tile_capacity if a hand-built model "
+                        "factory pins the tile capacity)"
                     )
                 outs.append(out)
                 self.repaired += 1
@@ -146,7 +166,9 @@ class AdaptivePredictor:
             elif overflowed:
                 raise RuntimeError(
                     "active set overflows the largest capacity bucket "
-                    f"({max_bucket}); raise reader.pillar_capacity"
+                    f"({max_bucket}); raise reader.pillar_capacity "
+                    "(or backbone.tile_capacity if a hand-built model "
+                    "factory pins the tile capacity)"
                 )
             else:
                 outs.append(p.out)

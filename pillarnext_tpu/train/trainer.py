@@ -74,6 +74,9 @@ class Trainer:
         eval_model=None,  # same params, different static config (e.g. the
         #                   full serving pillar_capacity vs the tighter
         #                   reader.train_pillar_capacity used for the step)
+        eval_model_cfg=None,  # resolved cfg["model"] dict: enables val_epoch
+        #                       overflow REPAIR (rebuild at a scaled capacity)
+        eval_overflow: str = "repair",  # 'repair' | 'raise' | 'warn'
     ):
         self.model = model
         self.eval_model = eval_model or model
@@ -90,6 +93,11 @@ class Trainer:
         self.mesh = mesh or mesh_lib.make_mesh()
         self.accum_steps = accum_steps
         self.profile_dir = profile_dir
+        assert eval_overflow in ("repair", "raise", "warn"), eval_overflow
+        self.eval_model_cfg = eval_model_cfg
+        self.eval_overflow = eval_overflow
+        self.eval_repairs = 0  # batches recomputed at a scaled capacity
+        self._repair_steps: dict[float, Any] = {}
 
         self.epoch = 0
         self.state: ts_lib.TrainState | None = None
@@ -206,6 +214,37 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
 
+    def _eval_overflow_of(self, tel) -> dict:
+        return {
+            k: int(v)
+            for k, v in tel.items()
+            if k.endswith("_overflow") and int(v) > 0
+        }
+
+    def _repair_eval_batch(self, variables, example, over: dict):
+        """Recompute one overflowed eval batch at escalating capacities
+        (2x, 4x, 8x the configured tables; tile capacity opened to the full
+        grid) — the val-side analogue of serving.AdaptivePredictor's
+        overflow repair.  A no-overflow recompute is provably bit-equal to
+        full-capacity inference (tests/test_serving.py), so the metrics
+        below never see silently-truncated scenes."""
+        from pillarnext_tpu.utils import builders
+
+        for scale in (2.0, 4.0, 8.0):
+            if scale not in self._repair_steps:
+                m = builders.build_eval_model_scaled(self.eval_model_cfg, scale)
+                self._repair_steps[scale] = ts_lib.make_eval_step(m, self.mesh)
+            dets, tel = self._repair_steps[scale](variables, example)
+            over = self._eval_overflow_of(tel)
+            if not over:
+                self.eval_repairs += 1
+                return dets
+        raise RuntimeError(
+            f"eval capacity overflow persists at 8x capacity: {over} — "
+            "the scene's active set is implausibly dense; check the data "
+            "or raise reader pillar/voxel capacity outright"
+        )
+
     def val_epoch(self) -> dict | None:
         assert self.state is not None
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
@@ -219,20 +258,28 @@ class Trainer:
             example = {k: v for k, v in batch.items() if k != "token"}
             example = mesh_lib.shard_batch(example, self.mesh)
             dets, tel = self._eval_step(variables, example)
+            over = self._eval_overflow_of(tel)
+            if over and self.eval_overflow == "repair" and self.eval_model_cfg:
+                self.logger.info(
+                    "eval capacity overflow %s — recomputing the batch at a "
+                    "scaled capacity (exact repair)", over,
+                )
+                dets = self._repair_eval_batch(variables, example, over)
+            elif over and self.eval_overflow != "warn":
+                raise RuntimeError(
+                    f"eval capacity overflow: {over} active sites dropped — "
+                    "metrics would be silently degraded. Raise reader "
+                    "pillar/voxel capacity, or pass eval_model_cfg for "
+                    "automatic repair (eval_overflow='repair')."
+                )
+            elif over and not warned_overflow:
+                self.logger.warning(
+                    "eval capacity overflow (sites dropped, predictions "
+                    "degraded): %s — raise capacities for trustworthy "
+                    "metrics", over,
+                )
+                warned_overflow = True
             dets = jax.tree.map(np.asarray, dets)
-            if not warned_overflow:
-                over = {
-                    k: int(v)
-                    for k, v in tel.items()
-                    if k.endswith("_overflow") and int(v) > 0
-                }
-                if over:
-                    self.logger.warning(
-                        "eval capacity overflow (sites dropped, predictions "
-                        "degraded): %s — raise capacities for trustworthy "
-                        "metrics", over,
-                    )
-                    warned_overflow = True
             if bar is not None:
                 bar.update()
             for bi, token in enumerate(tokens):

@@ -94,6 +94,30 @@ def build_model(model_cfg: dict, train: bool = False):
     return instantiate(cfg)
 
 
+def build_eval_model_scaled(model_cfg: dict, scale: float):
+    """Build the eval model with every static table capacity multiplied by
+    ``scale`` (rounded up to a 4096 quantum) and the tile capacity opened to
+    the full grid.  Parameter shapes are capacity-independent, so the scaled
+    model evaluates the SAME checkpoint — used by Trainer.val_epoch to
+    recompute batches whose active set overflowed the configured capacity
+    (bit-equal to having provisioned the bigger capacity up front; the
+    reference's torch.unique sizing can never overflow,
+    reference det3d/models/readers/pillar_encoder.py:109-111)."""
+    cfg = copy.deepcopy(model_cfg)
+    rd = cfg.get("reader")
+    if isinstance(rd, dict):
+        for key in ("pillar_capacity", "voxel_capacity", "cylinder_capacity"):
+            if key in rd:
+                c = int(-(-int(rd[key]) * scale // 4096)) * 4096
+                rd[key] = c
+    bb = cfg.get("backbone")
+    if isinstance(bb, dict) and (
+        bb.get("sparse_stages_eval") == "tile" or bb.get("tile_stride1")
+    ):
+        bb["tile_capacity"] = 0  # full tile grid — cannot overflow
+    return build_model(cfg)
+
+
 def build_dataset(ds_cfg: dict):
     return instantiate(ds_cfg)
 
