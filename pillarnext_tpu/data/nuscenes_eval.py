@@ -150,24 +150,58 @@ def detections_to_submission(
 # ------------------------------------------------------------ metric kernel
 
 
-def _average_precision(tp_flags: np.ndarray, n_gt: int) -> tuple[float, np.ndarray]:
-    """Official nuScenes AP: 101-point interpolated precision over recall,
-    clipped below (MIN_RECALL, MIN_PRECISION).  ``tp_flags`` are score-sorted.
+N_BINS = 101  # recall grid resolution of the official protocol
 
-    Returns (ap, cumulative tp counts) for reuse by TP-metric accumulation.
+
+def _accumulate_bins(
+    tp_flags: np.ndarray, scores: np.ndarray, n_gt: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Precision and confidence interpolated onto the official 101-point
+    recall grid (semantics of nuscenes-devkit eval/detection/algo.py
+    ``accumulate``: raw cumulative precision/recall, then ``np.interp`` with
+    ``right=0`` — duplicated-recall behavior intentionally identical).
+
+    ``tp_flags``/``scores`` are score-sorted descending.
     """
-    if n_gt == 0 or tp_flags.size == 0:
-        return 0.0, np.zeros(0)
     tp_cum = np.cumsum(tp_flags)
     fp_cum = np.cumsum(~tp_flags)
     precision = tp_cum / np.maximum(tp_cum + fp_cum, 1)
     recall = tp_cum / n_gt
+    rec_interp = np.linspace(0, 1, N_BINS)
+    prec_b = np.interp(rec_interp, recall, precision, right=0)
+    conf_b = np.interp(rec_interp, recall, scores, right=0)
+    return prec_b, conf_b
 
-    rec_interp = np.linspace(0, 1, 101)
-    prec_interp = np.interp(rec_interp, recall, precision, right=0)
-    prec_interp = prec_interp[rec_interp >= MIN_RECALL]
-    prec_interp = np.maximum(prec_interp - MIN_PRECISION, 0) / (1 - MIN_PRECISION)
-    return float(prec_interp.mean()), tp_cum
+
+def _calc_ap(prec_b: np.ndarray) -> float:
+    """Official ``calc_ap``: mean precision over recall bins STRICTLY ABOVE
+    MIN_RECALL (the +1 excludes the min-recall bin itself: 90 bins, not 91),
+    precision clipped below MIN_PRECISION and renormalized."""
+    prec = prec_b[round(100 * MIN_RECALL) + 1 :]
+    prec = np.maximum(prec - MIN_PRECISION, 0.0)
+    return float(np.mean(prec)) / (1.0 - MIN_PRECISION)
+
+
+def _cummean(x: np.ndarray) -> np.ndarray:
+    """Cumulative mean ignoring NaN entries (official ``cummean``): entry i
+    is the mean of the non-NaN values among x[:i+1]; all-NaN input -> ones."""
+    if np.all(np.isnan(x)):
+        return np.ones(len(x))
+    count = np.cumsum(~np.isnan(x))
+    total = np.nancumsum(x.astype(float))
+    return np.divide(total, count, out=np.zeros_like(total), where=count != 0)
+
+
+def _calc_tp(err_b: np.ndarray, conf_b: np.ndarray) -> float:
+    """Official ``calc_tp``: mean of the binned error over recall bins
+    (MIN_RECALL, max achieved recall]; 1.0 when that range is empty.  The
+    max-achieved-recall bin is the last nonzero confidence bin."""
+    first = round(100 * MIN_RECALL) + 1
+    nonzero = np.nonzero(conf_b)[0]
+    last = int(nonzero[-1]) if len(nonzero) else 0
+    if last < first:
+        return 1.0
+    return float(np.mean(err_b[first : last + 1]))
 
 
 def _yaw_diff(a: float, b: float, period: float) -> float:
@@ -187,19 +221,20 @@ def _match_class(
 ):
     """Greedy score-ordered center-distance matching for one class.
 
-    ``dets``: list of (score, token, box9); ``gts_by_token``: token ->
-    (M, 9) array.  Returns tp flags + optional per-TP error records.
+    ``dets``: list of (score, token, box9), SORTED descending by score;
+    ``gts_by_token``: token -> (M, 9) array.  Returns tp flags + optional
+    per-TP error records.
 
     Attribute error: predicted attribute comes from the velocity rules (the
     same rules the submission writer applies, nusc.py:152-171); GT attribute
-    from infos' ``gt_attributes`` when carried.  TPs whose GT attribute is
-    void ('') are excluded from AttrErr, as in the official protocol.
+    from infos' ``gt_attributes`` when carried.  A TP whose GT attribute is
+    void ('') carries a NaN attr error (skipped by the official cummean),
+    as in the official protocol.
     """
     n_gt = sum(len(g) for g in gts_by_token.values())
     taken: dict = {t: np.zeros(len(g), bool) for t, g in gts_by_token.items()}
-    dets = sorted(dets, key=lambda d: -d[0])
     tp_flags = np.zeros(len(dets), bool)
-    # (det_idx, trans, scale, yaw_det, yaw_gt, vel, attr_match or None)
+    # (score, trans, scale, yaw_det, yaw_gt, vel, attr_err or None)
     errors = []
 
     for di, (score, token, box) in enumerate(dets):
@@ -224,13 +259,17 @@ def _match_class(
             union = np.prod(box[3:6]) + np.prod(gt[3:6]) - inter
             scale = 1.0 - inter / max(union, 1e-9)
             vel = float(np.linalg.norm(box[6:8] - gt[6:8]))
-            attr_match = None
+            attr_err = None
             if gt_attrs_by_token is not None and det_attr_name is not None:
                 gt_attr = gt_attrs_by_token.get(token)
                 gt_attr = gt_attr[j] if gt_attr is not None else ""
                 if gt_attr:
-                    attr_match = _attr_for(det_attr_name, box[6:8]) == gt_attr
-            errors.append((di, trans, scale, box[8], gt[8], vel, attr_match))
+                    attr_err = float(
+                        _attr_for(det_attr_name, box[6:8]) != gt_attr
+                    )
+                else:
+                    attr_err = float("nan")
+            errors.append((score, trans, scale, box[8], gt[8], vel, attr_err))
     return n_gt, tp_flags, errors
 
 
@@ -265,6 +304,9 @@ def evaluate_protocol(
             if has_attrs:
                 cls_gt_attrs[token] = np.asarray(gt["gt_attributes"])[sel]
 
+        cls_dets.sort(key=lambda d: -d[0])
+        scores = np.asarray([d[0] for d in cls_dets], np.float64)
+
         aps = {}
         tp_metrics = None
         for dist_th in DIST_THRESHOLDS:
@@ -276,10 +318,14 @@ def evaluate_protocol(
                 gt_attrs_by_token=cls_gt_attrs,
                 det_attr_name=name,
             )
-            ap, tp_cum = _average_precision(tp_flags, n_gt)
+            if n_gt == 0 or tp_flags.size == 0:
+                ap, conf_b = 0.0, np.zeros(N_BINS)
+            else:
+                prec_b, conf_b = _accumulate_bins(tp_flags, scores, n_gt)
+                ap = _calc_ap(prec_b)
             aps[str(dist_th)] = ap
             if dist_th == TP_THRESHOLD:
-                tp_metrics = _tp_errors(name, errors, tp_flags, n_gt, detections, cls_gts)
+                tp_metrics = _tp_errors(name, errors, conf_b)
         label_aps[name] = aps
         label_tp[name] = tp_metrics
 
@@ -304,48 +350,41 @@ def evaluate_protocol(
     }
 
 
-def _tp_errors(name, errors, tp_flags, n_gt, detections, cls_gts):
-    """Class TP metrics averaged over TPs up to best-recall (official: mean
-    of per-TP errors accumulated over the recall range >= MIN_RECALL)."""
+def _tp_errors(name, errors, conf_b):
+    """Class TP metrics, official estimator: the per-TP error sequences (in
+    confidence order) are CUMULATIVE-MEANED, interpolated onto the 101-bin
+    recall grid via the binned confidences, then averaged over recall bins
+    (MIN_RECALL, max achieved recall] — semantics of the devkit's
+    ``accumulate`` match_data interpolation + ``calc_tp``.  NaN marks
+    metrics the protocol excludes for this class."""
     nan = float("nan")
     out = {"trans_err": 1.0, "scale_err": 1.0, "orient_err": 1.0,
            "vel_err": 1.0, "attr_err": 1.0}
+    if errors:
+        period = np.pi if name in PERIOD_PI else 2 * np.pi
+        conf_tp = np.asarray([e[0] for e in errors], np.float64)
+        seqs = {
+            "trans_err": np.asarray([e[1] for e in errors], np.float64),
+            "scale_err": np.asarray([e[2] for e in errors], np.float64),
+            "orient_err": np.asarray(
+                [_yaw_diff(e[3], e[4], period) for e in errors], np.float64
+            ),
+            "vel_err": np.asarray([e[5] for e in errors], np.float64),
+            "attr_err": np.asarray(
+                [nan if e[6] is None else e[6] for e in errors], np.float64
+            ),
+        }
+        for m, seq in seqs.items():
+            cm = _cummean(seq)
+            # xp must increase for np.interp: confidences descend, reverse
+            err_b = np.interp(conf_b[::-1], conf_tp[::-1], cm[::-1])[::-1]
+            out[m] = _calc_tp(err_b, conf_b)
     if name in NO_VELOCITY:
         out["vel_err"] = nan
     if name in NO_ATTRIBUTE:
         out["attr_err"] = nan
     if name in NO_ORIENTATION:
         out["orient_err"] = nan
-    if not errors or n_gt == 0:
-        return out
-
-    period = np.pi if name in PERIOD_PI else 2 * np.pi
-    # restrict to TPs at/after the MIN_RECALL point
-    min_tp = max(int(np.ceil(MIN_RECALL * n_gt)), 1)
-    tp_cum = np.cumsum(tp_flags)
-    trans, scale, orient, vel, attr = [], [], [], [], []
-    for di, t, s, yaw_d, yaw_g, v, am in errors:
-        if tp_cum[di] < min_tp:
-            continue
-        trans.append(t)
-        scale.append(s)
-        orient.append(_yaw_diff(yaw_d, yaw_g, period))
-        vel.append(v)
-        if am is not None:
-            attr.append(am)
-    if not trans:
-        return out
-    out["trans_err"] = float(np.mean(trans))
-    out["scale_err"] = float(np.mean(scale))
-    if name not in NO_ORIENTATION:
-        out["orient_err"] = float(np.mean(orient))
-    if name not in NO_VELOCITY:
-        out["vel_err"] = float(np.mean(vel))
-    if name not in NO_ATTRIBUTE and attr:
-        # AttrErr = 1 - attribute classification accuracy over TPs with a
-        # non-void GT attribute (official protocol); stays at the 1.0
-        # worst-case prior when infos carry no attributes
-        out["attr_err"] = 1.0 - float(np.mean(attr))
     return out
 
 

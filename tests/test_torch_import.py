@@ -156,6 +156,42 @@ def _fake_reference_state_dict(tasks, common_heads):
     return sd
 
 
+class TestExportRoundTrip:
+    def test_export_inverts_import_bit_exact(self):
+        """export_pillarnext(import_pillarnext(sd)) == sd (bit-exact).
+
+        Guards the flax->torch direction used to push TPU-trained weights
+        into the torch mirror for trained-weight flagship parity."""
+        tasks = [["car"], ["truck", "construction_vehicle"], ["bus", "trailer"],
+                 ["barrier"], ["motorcycle", "bicycle"],
+                 ["pedestrian", "traffic_cone"]]
+        common = {"reg": (2, 2), "height": (1, 2), "dim": (3, 2),
+                  "rot": (2, 2), "vel": (2, 2)}
+        sd = _fake_reference_state_dict(tasks, common)
+        params, stats = ti.import_pillarnext(sd, tasks=tasks, common_heads=common)
+        back = ti.export_pillarnext(
+            params, stats, tasks=tasks, common_heads=common
+        )
+        # same key set (the fake sd uses spconv OHWI for the backbone; export
+        # emits torch OIHW, so values are compared on the flax side below)
+        expected = {k for k in sd if not k.endswith("num_batches_tracked")}
+        assert set(back) == expected, (
+            sorted(expected - set(back))[:5], sorted(set(back) - expected)[:5]
+        )
+        params2, stats2 = ti.import_pillarnext(
+            back, tasks=tasks, common_heads=common
+        )
+        flat1 = jax.tree_util.tree_flatten_with_path((params, stats))[0]
+        flat2 = jax.tree_util.tree_flatten_with_path((params2, stats2))[0]
+        assert len(flat1) == len(flat2)
+        for (k1, v1), (k2, v2) in zip(flat1, flat2):
+            assert k1 == k2
+            np.testing.assert_array_equal(
+                np.asarray(v1), np.asarray(v2),
+                err_msg=jax.tree_util.keystr(k1),
+            )
+
+
 class TestFullImport:
     def test_structure_and_shapes_match_flax_init(self):
         from pillarnext_tpu.utils import builders
