@@ -29,6 +29,21 @@ indices duplicate only at the dump tile, so it is decomposed into 9
 per-part scatters with shadow rows — each parallel (unique indices), no
 serializing scatter-add.  The conv itself is ``lax.conv`` (XLA's own
 grads).
+
+MEASURED ON CHIP (round 4, v5e, flagship 1344^2, 200k-pt frame, tile cap
+12288, 10788 active tiles, zero overflow) — the tile path LOSES both A/Bs
+and ships as an opt-in mode, not the default:
+
+    eval e2e predict   : 92.6 ms ('tile')      vs 76.0 ms (masked-dense)
+    train step B=2     : 853 ms  (tile_stride1) vs 734 ms (per-site 'all')
+
+Why the model above mispredicted: the gather-descriptor saving is real,
+but at 6 sites/tile the VALID convs do ~10x the per-site MXU work AND the
+10x-larger tile-stack activations (690k cells vs 65k sites) must round-trip
+HBM between stages — the extra bandwidth, not the FLOPs, eats the win.
+The per-site path's gathers also overlap better with the dense tail.
+Equivalence tests (tests/test_tile_subm.py) keep the mode exact for
+workloads with denser tiles (e.g. voxelized RGB-D), where the ratio flips.
 """
 
 from __future__ import annotations
