@@ -34,6 +34,7 @@ from pillarnext_tpu.models.layers import (
     BN_MOMENTUM_DENSE,
     ConvTransposeBlock,
     MLPHead,
+    MLPHeadParams,
 )
 
 NEG_INF = nms_lib.NEG_INF
@@ -55,6 +56,20 @@ class SepHead(nn.Module):
     # (the reference configuration).  Param layout: branch1/bn1/out_<name>
     # (utils/torch_import.py concatenates per-branch reference tensors).
     merge_branches: bool = False
+    # Fused EVAL execution on the STANDARD param layout (round-4 winner):
+    # merged conv1 (exact output-channel concat) + ONE BLOCK-DIAGONAL final
+    # conv per task — out lane j of branch b reads only channels
+    # [b*64, b*64+64); the off-block weights are structural zeros assembled
+    # at apply time from the per-branch Conv_1 params, so the math is
+    # exactly the R separate branch convs.  Kills the head's real cost: 36
+    # final convs with 1-3 output channels (extreme MXU underfill).  On-chip
+    # A/B at flagship shapes (tools/head_bank_probe.py, v5e): 7.06 ms fused
+    # vs 13.31 ms separate vs 13.35 ms conv1-merge-only vs 47.9 ms 9-tap
+    # einsum bank (vs 67 ms grouped-conv MergedSepHeads, r3).  Params are
+    # declared through MLPHeadParams (identical variable tree), so train /
+    # checkpoints / torch import-export are untouched; training still runs
+    # the separate branches (BN batch-stat updates stay per-branch).
+    fuse_eval: bool = True
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -115,10 +130,18 @@ class SepHead(nn.Module):
                     name=f"out_{name}",
                 )(xb)
             return out
+        names = [n for n in self.heads if only is None or n in only]
+        if (
+            self.fuse_eval
+            and not train
+            and not self.merge_branches
+            and all(nc == 2 for _, nc in self.heads.values())
+        ):
+            out = self._fused_branches(x, names, patch_mask)
+            return (out, x) if return_feats else out
         out = {}
-        for name, (channels, num_conv) in self.heads.items():
-            if only is not None and name not in only:
-                continue
+        for name in names:
+            channels, num_conv = self.heads[name]
             out[name] = MLPHead(
                 channels,
                 num_conv,
@@ -130,6 +153,65 @@ class SepHead(nn.Module):
                 name=name,
             )(x, train, mask=patch_mask)
         return (out, x) if return_feats else out
+
+    def _fused_branches(self, x, names, patch_mask):
+        """Merged conv1 + block-diagonal final conv over ``names`` (see the
+        ``fuse_eval`` field for the derivation and measurements).  Reads the
+        standard per-branch params through MLPHeadParams; eval-mode BN only
+        (running stats, flax BatchNorm semantics mirrored exactly)."""
+        k = self.final_kernel
+        hc = self.head_conv
+        dt = self.dtype or x.dtype
+        cin = x.shape[-1]
+        c0s, bns, c1s, couts = [], [], [], []
+        for name in names:
+            channels, _ = self.heads[name]
+            c0, bn, c1 = MLPHeadParams(
+                channels,
+                head_conv=hc,
+                final_bias_init=self.init_bias if name == "hm" else 0.0,
+                kernel_size=k,
+                name=name,
+            )(cin)
+            c0s.append(c0)
+            bns.append(bn)
+            c1s.append(c1)
+            couts.append(channels)
+
+        pad = ((k // 2, k // 2), (k // 2, k // 2))
+        dn = ("NHWC", "HWIO", "NHWC")
+        w1 = jnp.concatenate([c[0] for c in c0s], axis=-1)
+        b1 = jnp.concatenate([c[1] for c in c0s])
+        h = jax.lax.conv_general_dilated(
+            x.astype(dt), w1.astype(dt), (1, 1), pad, dimension_numbers=dn
+        )
+        h = h + b1.astype(dt)
+        # eval BatchNorm, flax semantics: mul = rsqrt(var+eps)*scale in dtype
+        mean = jnp.concatenate([b[2] for b in bns]).astype(dt)
+        mul = jax.lax.rsqrt(
+            jnp.concatenate([b[3] for b in bns]).astype(dt) + BN_EPS_DENSE
+        ) * jnp.concatenate([b[0] for b in bns]).astype(dt)
+        h = (h - mean) * mul + jnp.concatenate([b[1] for b in bns]).astype(dt)
+        h = nn.relu(h)
+        if patch_mask is not None:
+            h = h * patch_mask
+
+        co = sum(couts)
+        w2 = jnp.zeros((k, k, len(names) * hc, co), jnp.float32)
+        b2 = jnp.concatenate([c[1] for c in c1s])
+        col = 0
+        for i, (c1, c) in enumerate(zip(c1s, couts)):
+            w2 = w2.at[:, :, i * hc : (i + 1) * hc, col : col + c].set(c1[0])
+            col += c
+        y = jax.lax.conv_general_dilated(
+            h, w2.astype(dt), (1, 1), pad, dimension_numbers=dn
+        )
+        y = y + b2.astype(dt)
+        out, col = {}, 0
+        for name, c in zip(names, couts):
+            out[name] = y[..., col : col + c]
+            col += c
+        return out
 
 
 class MergedSepHeads(nn.Module):
@@ -237,6 +319,8 @@ class CenterHead(nn.Module):
     merge_tasks: bool = False
     # fuse each task's branch-first convs into one dense conv (see SepHead)
     merge_branches: bool = False
+    # fused eval execution on the standard layout (see SepHead.fuse_eval)
+    fuse_eval: bool = True
     voxel_size: Sequence[float] | None = None
     pc_range: Sequence[float] | None = None
     out_size_factor: Sequence[int] | None = None
@@ -321,6 +405,7 @@ class CenterHead(nn.Module):
                     head_conv=self.share_conv_channel,
                     init_bias=self.init_bias,
                     merge_branches=self.merge_branches,
+                    fuse_eval=self.fuse_eval,
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     name=f"task_{task_id}",

@@ -234,6 +234,74 @@ class MaskedBatchNorm(nn.Module):
         return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
+class _ConvParams(nn.Module):
+    """Declares nn.Conv's exact param layout (kernel/bias under this module's
+    name, same default initializers => same init values for the same scope
+    path) WITHOUT applying the convolution — the fused SepHead execution
+    reads these tensors and assembles merged convolutions from them."""
+
+    features: int
+    kernel_size: int = 3
+    bias_init_value: float = 0.0
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.linear.default_kernel_init,
+            (self.kernel_size, self.kernel_size, in_features, self.features),
+        )
+        bias = self.param(
+            "bias", nn.initializers.constant(self.bias_init_value), (self.features,)
+        )
+        return kernel, bias
+
+
+class _BNParams(nn.Module):
+    """nn.BatchNorm's exact param/batch_stats layout without applying it."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,))
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,))
+        )
+        return scale, bias, mean.value, var.value
+
+
+class MLPHeadParams(nn.Module):
+    """MLPHead's exact param tree (num_conv == 2: Conv_0, BatchNorm_0,
+    Conv_1) as raw tensors, for merged execution.  Scope paths match
+    MLPHead's auto-named submodules, so a SepHead may declare parameters
+    through THIS module on one call (fused eval) and through MLPHead on
+    another (train) — both resolve to the identical variable tree."""
+
+    out_features: int
+    head_conv: int = 64
+    final_bias_init: float = 0.0
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        c0 = _ConvParams(
+            self.head_conv, self.kernel_size, name="Conv_0"
+        )(in_features)
+        bn = _BNParams(self.head_conv, name="BatchNorm_0")()
+        c1 = _ConvParams(
+            self.out_features,
+            self.kernel_size,
+            bias_init_value=self.final_bias_init,
+            name="Conv_1",
+        )(self.head_conv)
+        return c0, bn, c1
+
+
 class MLPHead(nn.Module):
     """(num_conv-1) x [3x3 conv + BN + ReLU] then a final 3x3 conv with bias —
     one output branch of SepHead (reference centerhead.py:32-49)."""

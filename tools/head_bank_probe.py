@@ -53,12 +53,16 @@ R = len(BRANCHES)
 CP = 4  # padded out-channels for the conv2 bank (max(3 dim, 2 hm classes))
 
 
+def _fence(out):
+    # axon tunnel: block_until_ready does NOT fence; fetch a scalar leaf
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+
 def bench(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(fn(*args))
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(reps)]
-    jax.block_until_ready(outs[-1])
+    _fence(outs[-1])
     return (time.perf_counter() - t0) / reps
 
 

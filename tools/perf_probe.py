@@ -44,6 +44,10 @@ if os.environ.get("PNX_STAGE_FRACS"):
     cfg["model"]["backbone"]["stage_capacity_frac"] = [
         float(f) for f in os.environ["PNX_STAGE_FRACS"].split(",")
     ]
+if os.environ.get("PNX_NO_FUSE"):
+    cfg["model"]["head"]["fuse_eval"] = False
+if os.environ.get("PNX_NO_CS"):
+    cfg["model"]["post_processing"]["candidate_sparse_head"] = False
 if os.environ.get("PNX_TILE"):
     # stride-1 stages over the active-tile stack (ops/tile_subm.py)
     cfg["model"]["backbone"]["tile_stride1"] = True
@@ -65,13 +69,17 @@ variables = jax.jit(model.init)(jax.random.PRNGKey(0), pts_j[:1], mask_j[:1])
 jax.block_until_ready(variables)
 
 
-def run(name, fn, reps=5):
+def run(name, fn, reps=10):
     t0 = time.perf_counter()
     float(fn(variables, pts_j, mask_j))
     print(f"{name} compile+1st: {time.perf_counter() - t0:.0f}s", flush=True)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        float(fn(variables, pts_j, mask_j))
+    # fence ONCE on the last output: a per-call float() fetch adds the
+    # ~26 ms tunnel RTT to every rep (measured; it inflated r3/r4 probe
+    # numbers) — dispatches queue in order, so fetching the last scalar
+    # bounds all reps
+    outs = [fn(variables, pts_j, mask_j) for _ in range(reps)]
+    float(outs[-1])
     dt = (time.perf_counter() - t0) / reps
     print(f"{name} B={B}: {dt * 1000:.0f} ms  ({B / dt:.2f} fps)", flush=True)
 
@@ -136,10 +144,12 @@ elif STAGE == "train":
     state, (sc, _) = step(state, sharded)
     print(f"train compile+1st: {time.perf_counter() - t0:.0f}s loss={float(sc['loss']):.2f}", flush=True)
     t0 = time.perf_counter()
-    for _ in range(5):
+    scs = []
+    for _ in range(10):
         state, (sc, _) = step(state, sharded)
-        _ = float(sc["loss"])
-    dt = (time.perf_counter() - t0) / 5
+        scs.append(sc)
+    _ = float(scs[-1]["loss"])  # fence once (see run())
+    dt = (time.perf_counter() - t0) / 10
     print(f"train B={B}: {dt * 1000:.0f} ms  ({B / dt:.2f} frames/s)", flush=True)
 elif STAGE == "trainfeat":
     # backward of the feature extractor only: separates backbone fwd+bwd

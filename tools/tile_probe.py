@@ -37,12 +37,17 @@ cfg = load_experiment(
 pc = cfg["model"]["reader"]["pc_range"]
 
 
+def _fence(out):
+    # axon tunnel: block_until_ready does NOT fence; fetch a scalar leaf
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+
+
 def bench(fn, *args, reps=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(reps)]
-    jax.block_until_ready(outs[-1])
+    _fence(outs[-1])
     return (time.perf_counter() - t0) / reps, out
 
 
