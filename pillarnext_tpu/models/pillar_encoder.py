@@ -31,9 +31,16 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pillarnext_tpu.models.layers import MaskedBatchNorm
+import jax
+
+from pillarnext_tpu.models.layers import BN_EPS_SPARSE, MaskedBatchNorm, _BNParams
 from pillarnext_tpu.ops import scatter
 from pillarnext_tpu.ops.compact import compactify, invert_slot_map
+from pillarnext_tpu.ops.pallas_pfn import (
+    pallas_pfn_enabled,
+    pfn_interpret,
+    pfn_table_fused,
+)
 from pillarnext_tpu.ops.sparse_bev import SparseBEV
 from pillarnext_tpu.ops.voxelize import VoxelGrid, pillar_coords, pillar_segment_ids
 
@@ -72,6 +79,42 @@ class PFNLayer(nn.Module):
         return jnp.concatenate([x, back], axis=-1)
 
 
+class _DenseParams(nn.Module):
+    """nn.Dense(use_bias=False)'s exact param layout (kernel under this
+    module's name, same default initializer) WITHOUT applying it — the fused
+    PFN kernel reads the tensor (cf. MLPHeadParams in layers.py)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel",
+            nn.linear.default_kernel_init,
+            (in_features, self.features),
+        )
+
+
+class PFNLayerParams(nn.Module):
+    """PFNLayer's exact param tree (Dense_0 kernel + MaskedBatchNorm_0
+    scale/bias/batch_stats) as raw tensors, for the fused Pallas execution.
+    Scope paths match PFNLayer's auto-named submodules, so the variable tree
+    is identical whichever path declares it."""
+
+    out_channels: int
+    last_layer: bool = False
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        units = self.out_channels if self.last_layer else self.out_channels // 2
+        kernel = _DenseParams(units, name="Dense_0")(in_features)
+        scale, bias, mean, var = _BNParams(units, name="MaskedBatchNorm_0")()
+        # eval-mode MaskedBatchNorm folded affine (layers.py:229-234)
+        inv = jax.lax.rsqrt(var + BN_EPS_SPARSE) * scale
+        shift = bias - mean * inv
+        return kernel, inv, shift
+
+
 class PillarFeatureNet(nn.Module):
     """Points -> decorated features -> PFN stack -> dense BEV pillar image."""
 
@@ -81,25 +124,17 @@ class PillarFeatureNet(nn.Module):
     pc_range: Sequence[float]
     pillar_capacity: int = 131072  # compact slots per sample (~2x headroom)
     output: str = "dense"  # 'dense' (B,H,W,C) | 'sparse' (SparseBEV)
+    # Fused EVAL execution (ops/pallas_pfn.py): the whole decorate->PFN
+    # stack->pillar-max chain in one Pallas kernel streaming the sorted point
+    # buffer through VMEM (single-device TPU, 2-layer PFN only; the XLA path
+    # below remains the train / CPU / mesh path and the semantic reference).
+    fuse_eval: bool = True
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
-    def setup(self):
-        self.grid = VoxelGrid.create(self.voxel_size, self.pc_range)
-        layers = []
-        for i, width in enumerate(self.num_filters):
-            layers.append(
-                PFNLayer(
-                    width,
-                    last_layer=(i == len(self.num_filters) - 1),
-                    axis_name=self.axis_name,
-                    dtype=self.dtype,
-                )
-            )
-        self.pfn_layers = layers
-
+    @nn.compact
     def __call__(self, points, mask, train: bool = False):
-        grid = self.grid
+        grid = VoxelGrid.create(self.voxel_size, self.pc_range)
         b, n, d = points.shape
         assert d == self.num_input_features, (d, self.num_input_features)
         hw = grid.num_pillars
@@ -122,6 +157,14 @@ class PillarFeatureNet(nn.Module):
             self.sow("telemetry", "pillar_active", n_pillars)
             self.sow("telemetry", "pillar_overflow", jnp.maximum(n_pillars - cap, 0))
 
+        fused = (
+            self.fuse_eval
+            and not train
+            and not self.is_initializing()
+            and len(self.num_filters) == 2
+            and d + 5 <= 15
+            and pallas_pfn_enabled()
+        )
         raw = points.reshape(-1, d).astype(jnp.float32)[order]
         xyz_s = raw[:, :3]
         valid_s = flat_valid[order]
@@ -148,8 +191,30 @@ class PillarFeatureNet(nn.Module):
         if self.dtype is not None:
             feats = feats.astype(self.dtype)
 
-        for pfn in self.pfn_layers:
-            feats = pfn(feats, valid_s, slot, num_segments, train)
+        if fused:
+            # hand the identical decorated tensor to the fused Pallas kernel
+            # (ops/pallas_pfn.py) — bit-equal to the PFNLayer stack below
+            p0 = PFNLayerParams(self.num_filters[0], name="pfn_layers_0")(d + 5)
+            p1 = PFNLayerParams(
+                self.num_filters[1], last_layer=True, name="pfn_layers_1"
+            )(self.num_filters[0])
+            table = pfn_table_fused(
+                feats, slot, p0, p1,
+                cap=cap,
+                dtype=self.dtype,
+                interpret=pfn_interpret(),
+            )
+            slot_of_dense, occupied = invert_slot_map(slot_id, b * hw, cap)
+            return self._emit(table, slot_of_dense, occupied, slot_id, b, grid)
+
+        for i, width in enumerate(self.num_filters):
+            feats = PFNLayer(
+                width,
+                last_layer=(i == len(self.num_filters) - 1),
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                name=f"pfn_layers_{i}",
+            )(feats, valid_s, slot, num_segments, train)
 
         # last PFN layer returned the (cap+1, C) compact pillar table; row
         # ``cap`` is the dump row — nonzero when VALID points overflowed the
@@ -160,7 +225,9 @@ class PillarFeatureNet(nn.Module):
         # path instead of serializing duplicates).
         table = feats.at[-1].set(0.0)
         slot_of_dense, occupied = invert_slot_map(slot_id, b * hw, cap)
+        return self._emit(table, slot_of_dense, occupied, slot_id, b, grid)
 
+    def _emit(self, table, slot_of_dense, occupied, slot_id, b, grid):
         sbev = SparseBEV(
             table=table,
             valid=occupied,
