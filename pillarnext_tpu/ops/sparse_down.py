@@ -178,21 +178,25 @@ def build_down_neighbor_tables(
         fwd.append(jnp.where(did < in_rows, in_slot_of_dense[safe], cap_in))
     nbr_fwd = jnp.stack(fwd, axis=-1)
 
-    # reverse: in slot -> K output slots (tap t feeds o iff (c+p-t) % s == 0)
-    ok_i, c = _decode(in_slot_id, batch, in_spatial)
-    rev = []
-    for t in taps:
-        oc2 = [c[0]]
-        ok = ok_i
-        for i, (k, s) in enumerate(zip(kernel_shape, stride)):
-            p = padding[i]
-            num = c[i + 1] + p - t[i]
-            ok = ok & (num % s == 0) & (num >= 0)
-            oc2.append(num // s)
-        did = _encode(oc2, ok, batch, out_sp, out_rows)
-        safe = jnp.where(did < out_rows, did, 0)
-        rev.append(jnp.where(did < out_rows, out_slot_of_dense[safe], cap_out))
-    nbr_rev = jnp.stack(rev, axis=-1)
+    # reverse: in slot -> K output slots.  Adjoint of the forward table —
+    # rev[i, t] = o  <=>  fwd[o, t] = i  (tap t reads input i of output o),
+    # so ONE unique-index scatter of fwd replaces K gathers over the output
+    # dense map + the per-tap divisibility algebra (measured 17.7 -> ~4 ms
+    # at the flagship stage-1 train shape, tools/table_probe.py).  Inactive
+    # fwd entries (cap_in) route to per-(o,t)-distinct shadow rows past
+    # cap_in so the scatter keeps XLA's parallel unique-indices path.
+    nk = len(taps)
+    o_ids = jnp.arange(cap_out, dtype=jnp.int32)
+    shadow = cap_in + 1 + o_ids[:, None]
+    target = jnp.where(nbr_fwd < cap_in, nbr_fwd, shadow)
+    rev_full = jnp.full((cap_in + 1 + cap_out, nk), cap_out, jnp.int32)
+    nbr_rev = rev_full.at[
+        target, jnp.arange(nk, dtype=jnp.int32)[None, :]
+    ].set(
+        jnp.broadcast_to(o_ids[:, None], (cap_out, nk)),
+        mode="drop",
+        unique_indices=True,
+    )[:cap_in]
     return nbr_fwd, nbr_rev
 
 

@@ -135,3 +135,76 @@ def test_strided_conv_custom_vjp_matches_dense_grads():
     v = np.asarray(valid)
     np.testing.assert_allclose(np.asarray(gs_f)[v], np.asarray(gd_f)[v], atol=1e-4)
     np.testing.assert_allclose(np.asarray(gs_k), np.asarray(gd_k), atol=1e-4)
+
+
+def _rev_oracle(in_slot_id, out_sod, batch, in_sp, kshape, stride, padding,
+                cap_in, cap_out, out_sp):
+    """Coordinate-algebra reverse table (the pre-optimization formulation):
+    tap t of output o reads input i  <=>  rev[i, t] = o."""
+    import itertools
+
+    if padding is None:
+        padding = tuple(k // 2 for k in kshape)
+    taps = list(itertools.product(*[range(k) for k in kshape]))
+    in_rows = batch * int(np.prod(in_sp))
+    out_cell = int(np.prod(out_sp))
+    in_cell = int(np.prod(in_sp))
+    rev = np.full((cap_in, len(taps)), cap_out, np.int32)
+    osod = np.asarray(out_sod)
+    for s, d in enumerate(np.asarray(in_slot_id, np.int64)):
+        if d >= in_rows:
+            continue
+        b, rem = divmod(d, in_cell)
+        co = []
+        for n in in_sp[::-1]:
+            co.append(rem % n)
+            rem //= n
+        co = co[::-1]
+        for t_i, t in enumerate(taps):
+            oc, ok = [], True
+            for i, (k, st) in enumerate(zip(kshape, stride)):
+                num = co[i] + padding[i] - t[i]
+                if num % st or num < 0 or num // st >= out_sp[i]:
+                    ok = False
+                    break
+                oc.append(num // st)
+            if not ok:
+                continue
+            od = b * out_cell
+            mul = 1
+            for i in range(len(out_sp) - 1, -1, -1):
+                od += oc[i] * mul
+                mul *= out_sp[i]
+            rev[s, t_i] = osod[od]
+    return rev
+
+
+@pytest.mark.parametrize(
+    "b,spatial,kshape,stride,padding,cap_out",
+    [
+        (2, (14, 18), (3, 3), (2, 2), None, 40),   # output overflow
+        (1, (9, 9), (3, 3), (2, 2), None, 64),
+        (1, (7, 9, 9), (3, 1, 1), (2, 1, 1), (0, 0, 0), 64),  # 3-D z-down
+    ],
+)
+def test_reverse_table_scatter_adjoint_equals_algebra(
+    b, spatial, kshape, stride, padding, cap_out
+):
+    """nbr_rev is built as the scatter-adjoint of nbr_fwd (rev[i,t]=o <=>
+    fwd[o,t]=i); it must equal the per-tap divisibility algebra exactly,
+    including capacity-overflow-dropped outputs and unused input slots."""
+    rng = np.random.default_rng(3)
+    cap_in, n_active = 96, 60
+    _, _, sod, slot_id = _scene_3d(rng, b, spatial, 4, n_active, cap_in)
+    out_slot_id, out_sod, _, out_sp, _ = downsample_active_set(
+        sod, cap_in, b, spatial, kshape, stride, cap_out, padding=padding
+    )
+    _, rev = build_down_neighbor_tables(
+        sod, out_slot_id, out_sod, slot_id, b, spatial, kshape, stride,
+        padding=padding,
+    )
+    want = _rev_oracle(
+        slot_id, out_sod, b, spatial, kshape, stride, padding,
+        cap_in, cap_out, tuple(int(x) for x in out_sp),
+    )
+    np.testing.assert_array_equal(np.asarray(rev), want)

@@ -110,6 +110,48 @@ def test_subm_conv_custom_vjp_matches_autodiff():
     )
 
 
+def _gather_oracle_build(sod, slot_id, spatial, offsets, cap):
+    """Pure per-tap dense-map lookup (the pre-optimization formulation):
+    the semantic definition the roll-based fast path must reproduce."""
+    ndim = len(spatial)
+    sizes = np.asarray(spatial, np.int64)
+    strides = np.concatenate(
+        [np.cumprod(sizes[::-1])[::-1][1:], [1]]
+    ).astype(np.int64)
+    cell = int(np.prod(sizes))
+    sod = np.asarray(sod)
+    out = np.full((len(slot_id), len(offsets)), cap, np.int32)
+    for s, d in enumerate(np.asarray(slot_id, np.int64)):
+        if d >= len(sod):
+            continue
+        b, rem = divmod(d, cell)
+        co = []
+        for i in range(ndim):
+            co.append(rem // strides[i])
+            rem %= strides[i]
+        for k, off in enumerate(offsets):
+            ci = [co[i] + off[i] for i in range(ndim)]
+            if all(0 <= ci[i] < sizes[i] for i in range(ndim)):
+                out[s, k] = sod[b * cell + sum(ci[i] * strides[i] for i in range(ndim))]
+    return out
+
+
+@pytest.mark.parametrize(
+    "b,h,w,k,n", [(2, 13, 17, 3, 50), (1, 9, 9, 5, 40), (1, 12, 12, 3, 100)]
+)
+def test_neighbor_table_roll_fast_path_equals_gather_oracle(b, h, w, k, n):
+    """The |dx|<=1 same-row taps use rolls on slot_id instead of dense-map
+    gathers (ascending-slot invariant); output must equal the pure-gather
+    definition exactly, including row/batch boundaries and unused slots."""
+    rng = np.random.default_rng(hash((b, h, w, k)) % 2**32)
+    cap = max(n + 14, 64)
+    _, _, sod, slot_id = _random_scene(rng, b, h, w, 4, n, cap)
+    offs = subm_offsets_2d(k)
+    got = np.asarray(build_neighbor_table(sod, slot_id, (h, w), offs, cap))
+    want = _gather_oracle_build(sod, slot_id, (h, w), offs, cap)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_neighbor_table_3d_center_tap_is_self():
     rng = np.random.default_rng(2)
     d = h = w = 6
