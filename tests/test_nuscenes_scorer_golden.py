@@ -142,3 +142,160 @@ class TestScorerGolden:
         for th in GOLDEN_APS:
             assert abs(m["label_aps"]["car"][th] - 1.0) < 1e-12
         assert m["label_tp_errors"]["car"]["trans_err"] == 0.0
+
+
+def _two_gt_car_fixture():
+    """2 GT cars far apart in one sample (both parked, zero velocity)."""
+    return {
+        "s0": {
+            "gt_boxes": np.array(
+                [
+                    [0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.0],
+                    [20.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.5],
+                ]
+            ),
+            "gt_names": np.array(["car", "car"]),
+            "gt_attributes": np.array(["vehicle.parked", "vehicle.parked"]),
+        }
+    }
+
+
+class TestScorerEdgeCases:
+    """Adversarial fixtures at the brittle edges of the AP/TP interpolation.
+
+    Golden constants minted (like TestScorerGolden's) from an independent
+    scratch transcription of nuscenes-devkit eval/detection/algo.py.  NOTE
+    the documented residual risk: the real devkit cannot run in this
+    environment, so a shared misreading of algo.py would pass both the
+    scratch implementation and pillarnext_tpu (see README "Known limits").
+    """
+
+    def test_duplicated_recall_values(self):
+        """Consecutive FPs leave recall FLAT — np.interp over an xp array
+        with duplicated recall values is exactly the devkit's behavior and
+        an easy spot to diverge (e.g. dedup-ing recall first changes AP).
+        Sequence: TP(.9, 0.2 m), FP(.8), FP(.7), TP(.6, 0.4 m) over 2 GT."""
+        gt = _two_gt_car_fixture()
+        dets = {
+            "s0": {
+                "box3d_lidar": np.array(
+                    [
+                        [0.2, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.1],
+                        [50.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.0],
+                        [60.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.0],
+                        [20.0, 0.4, 0.0, 4.4, 1.8, 1.5, 0.0, 0.0, 0.7],
+                    ]
+                ),
+                "scores": np.array([0.9, 0.8, 0.7, 0.6]),
+                "label_preds": np.array([0, 0, 0, 0]),
+            }
+        }
+        m = nuscenes_eval.evaluate_protocol(gt, dets, ["car"])
+        for th in ("0.5", "1.0", "2.0", "4.0"):
+            assert abs(m["label_aps"]["car"][th] - 0.632716049383) < 1e-9
+        tp = m["label_tp_errors"]["car"]
+        assert abs(tp["trans_err"] - 0.247222222222) < 1e-9
+        assert abs(tp["scale_err"] - 0.041156982671) < 1e-9
+        assert abs(tp["orient_err"] - 0.123611111111) < 1e-9
+        assert abs(tp["vel_err"] - 0.0) < 1e-12
+        assert abs(tp["attr_err"] - 0.0) < 1e-12
+
+    def test_tied_confidences(self):
+        """Two detections share score 0.5 (one FP, one TP): the TP-error
+        interpolation's confidence xp then has duplicates too."""
+        gt = _two_gt_car_fixture()
+        dets = {
+            "s0": {
+                "box3d_lidar": np.array(
+                    [
+                        [0.2, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.1],
+                        [50.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.0],
+                        [20.0, 0.4, 0.0, 4.4, 1.8, 1.5, 0.0, 0.0, 0.7],
+                    ]
+                ),
+                "scores": np.array([0.9, 0.5, 0.5]),
+                "label_preds": np.array([0, 0, 0]),
+            }
+        }
+        m = nuscenes_eval.evaluate_protocol(gt, dets, ["car"])
+        assert abs(m["label_aps"]["car"]["2.0"] - 0.737654320988) < 1e-9
+        tp = m["label_tp_errors"]["car"]
+        assert abs(tp["trans_err"] - 0.256666666667) < 1e-9
+        assert abs(tp["scale_err"] - 0.049388379205) < 1e-9
+        assert abs(tp["orient_err"] - 0.128333333333) < 1e-9
+
+    def test_precision_never_above_min_precision(self):
+        """10 detections, only the lowest-scored is a TP: precision at the
+        TP row is exactly 1/10 == MIN_PRECISION, so post-clip AP is exactly
+        0 even though recall reaches 1.0; trans_err still averages to the
+        TP's 0.1 m over the achieved-recall bins."""
+        gt = {
+            "s0": {
+                "gt_boxes": np.array([[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.0]]),
+                "gt_names": np.array(["car"]),
+                "gt_attributes": np.array(["vehicle.parked"]),
+            }
+        }
+        boxes = [[100.0 + i, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.0] for i in range(9)]
+        boxes.append([0.1, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.0])
+        dets = {
+            "s0": {
+                "box3d_lidar": np.array(boxes),
+                "scores": np.array([0.9 - 0.05 * i for i in range(9)] + [0.4]),
+                "label_preds": np.zeros(10, np.int64),
+            }
+        }
+        m = nuscenes_eval.evaluate_protocol(gt, dets, ["car"])
+        for th in ("0.5", "1.0", "2.0", "4.0"):
+            assert m["label_aps"]["car"][th] == 0.0
+        assert abs(m["label_tp_errors"]["car"]["trans_err"] - 0.1) < 1e-9
+
+    def test_zero_gt_class(self):
+        """A class with detections but NO ground truth anywhere: AP 0 and
+        TP errors pinned at the protocol's worst-case 1.0; mean_ap still
+        averages over BOTH classes (0 drags it down)."""
+        gt = _two_gt_car_fixture()
+        dets = {
+            "s0": {
+                "box3d_lidar": np.array(
+                    [
+                        [0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.0],
+                        [20.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.5],
+                        [5.0, 5.0, 0.0, 0.5, 0.5, 1.8, 0.0, 0.0, 0.0],
+                    ]
+                ),
+                "scores": np.array([0.9, 0.8, 0.7]),
+                "label_preds": np.array([0, 0, 1]),  # last is 'pedestrian'
+            }
+        }
+        m = nuscenes_eval.evaluate_protocol(gt, dets, ["car", "pedestrian"])
+        for th in ("0.5", "1.0", "2.0", "4.0"):
+            assert abs(m["label_aps"]["car"][th] - 1.0) < 1e-12
+            assert m["label_aps"]["pedestrian"][th] == 0.0
+        assert abs(m["mean_ap"] - 0.5) < 1e-12
+        for k, v in m["label_tp_errors"]["pedestrian"].items():
+            assert v == 1.0, (k, v)
+
+    def test_all_fp_class(self):
+        """GT exists but every detection is > 4 m away: AP 0 at every
+        threshold and TP errors 1.0 (the empty-achieved-recall branch of
+        calc_tp)."""
+        gt = _two_gt_car_fixture()
+        dets = {
+            "s0": {
+                "box3d_lidar": np.array(
+                    [
+                        [50.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.0],
+                        [60.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 0.0, 0.0],
+                    ]
+                ),
+                "scores": np.array([0.9, 0.8]),
+                "label_preds": np.array([0, 0]),
+            }
+        }
+        m = nuscenes_eval.evaluate_protocol(gt, dets, ["car"])
+        for th in ("0.5", "1.0", "2.0", "4.0"):
+            assert m["label_aps"]["car"][th] == 0.0
+        for k, v in m["label_tp_errors"]["car"].items():
+            assert v == 1.0, (k, v)
+        assert m["nd_score"] == 0.0
