@@ -9,11 +9,19 @@ components — no sorts, no scatters, no gathers.  The same core therefore
 runs three ways:
 
 - broadcast (M, 1) x (1, N) under jit for IoU matrices,
-- elementwise (N,) x (N,) for row-aligned IoU,
-- on (TM, TN) VMEM tiles inside the Pallas kernel (ops/pallas_iou.py).
+- elementwise (N,) x (N,) for row-aligned IoU.
 
 Numerics match the exact polygon-clip oracle (core/native/geometry.cpp) to
 float32 round-off; tests compare against it directly.
+
+A tiled Pallas twin of the IoU matrix (ops/pallas_iou.py, rounds 1-4) was
+CUT in round 5 after its on-chip A/B: the XLA form compiles in 121.5 s and
+evaluates the full 1000x1000 nuScenes NMS matrix in **1.475 ms**, while
+Mosaic compilation of the same ~2k-op clip chain as one kernel was aborted
+after 31 minutes (the repo's three other Pallas kernels compile in 1-3 min
+— the failure is specific to this kernel's unrolled op count, not the
+toolchain).  XLA is the production path and is already far from the
+bottleneck (decode+NMS ~3 ms of a ~66 ms frame).
 
 Box convention: [x, y, z, dx, dy, dz, yaw] (z = center), yaw CCW around +z.
 """
