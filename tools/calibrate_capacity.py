@@ -36,18 +36,31 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def pool_or(occ: np.ndarray, k: int, s: int) -> np.ndarray:
-    """Binary max-pool (k x k window, stride s, pad k//2) of a 2-D occupancy
-    bitmap — the exact dilated active set of a strided sparse conv."""
+    """Binary max-pool (k^nd window, stride s, pad k//2) of a 2-D or 3-D
+    occupancy bitmap — the exact dilated active set of a strided sparse
+    conv (ops/sparse_down.py:downsample_active_set)."""
     p = k // 2
-    h, w = occ.shape
-    padded = np.zeros((h + 2 * p, w + 2 * p), bool)
-    padded[p : p + h, p : p + w] = occ
-    oh = (h + 2 * p - k) // s + 1
-    ow = (w + 2 * p - k) // s + 1
-    out = np.zeros((oh, ow), bool)
-    for dy in range(k):
-        for dx in range(k):
-            out |= padded[dy : dy + oh * s : s, dx : dx + ow * s : s]
+    nd = occ.ndim
+    shape = occ.shape
+    padded = np.zeros(tuple(d + 2 * p for d in shape), bool)
+    padded[tuple(slice(p, p + d) for d in shape)] = occ
+    oshape = tuple((d + 2 * p - k) // s + 1 for d in shape)
+    out = np.zeros(oshape, bool)
+    for off in np.ndindex(*(k,) * nd):
+        out |= padded[
+            tuple(slice(o, o + od * s, s) for o, od in zip(off, oshape))
+        ]
+    return out
+
+
+def pool_or_z(occ: np.ndarray, k: int = 3, s: int = 2) -> np.ndarray:
+    """The voxel backbone's extra z-only downsample conv ((k,1,1) kernel,
+    (s,1,1) stride, padding 0 — models/resnet.py extra stage)."""
+    d = occ.shape[0]
+    od = (d - k) // s + 1
+    out = np.zeros((od,) + occ.shape[1:], bool)
+    for dz in range(k):
+        out |= occ[dz : dz + od * s : s]
     return out
 
 
@@ -73,6 +86,10 @@ def main() -> None:
     vs = [float(v) for v in rd["voxel_size"]]
     gw = int(round((pc[3] - pc[0]) / vs[0]))
     gh = int(round((pc[4] - pc[1]) / vs[1]))
+    # a true 3-D voxel reader (voxel_encoder: z bins comparable to x/y, vs
+    # the pillar readers' single full-height bin) tracks VOXEL occupancy
+    three_d = "voxel_capacity" in rd or (pc[5] - pc[2]) / vs[2] > 4
+    gd = int(round((pc[5] - pc[2]) / vs[2])) if three_d else 1
     strides = [int(s) for s in bb.get("ds_layer_strides", [])]
     kernels = [int(k) for k in bb.get("kernel_size", [3] * len(strides))]
 
@@ -92,29 +109,41 @@ def main() -> None:
                 pts, mask = lidar_like_points(1, args.points, pc, seed=i)
                 yield pts[0][mask[0]][:, :3]
 
-    n_stage = len(strides)
+    n_stage = len(strides) + (1 if three_d else 0)  # +1: extra z-downsample
     occ_max = 0
     stage_max = [0] * n_stage
     for xyz in frames():
         ix = np.floor((xyz[:, 0] - pc[0]) / vs[0]).astype(np.int64)
         iy = np.floor((xyz[:, 1] - pc[1]) / vs[1]).astype(np.int64)
         ok = (ix >= 0) & (ix < gw) & (iy >= 0) & (iy < gh)
-        occ = np.zeros((gh, gw), bool)
-        occ[iy[ok], ix[ok]] = True
+        if three_d:
+            iz = np.floor((xyz[:, 2] - pc[2]) / vs[2]).astype(np.int64)
+            ok = ok & (iz >= 0) & (iz < gd)
+            occ = np.zeros((gd, gh, gw), bool)
+            occ[iz[ok], iy[ok], ix[ok]] = True
+        else:
+            occ = np.zeros((gh, gw), bool)
+            occ[iy[ok], ix[ok]] = True
         occ_max = max(occ_max, int(occ.sum()))
         for i, (k, s) in enumerate(zip(kernels, strides)):
             if s > 1:
                 occ = pool_or(occ, k, s)
             stage_max[i] = max(stage_max[i], int(occ.sum()))
+        if three_d:
+            occ = pool_or_z(occ)
+            stage_max[len(strides)] = max(stage_max[len(strides)], int(occ.sum()))
 
     cap = round_up(int(occ_max * args.margin))
-    print(f"frames={args.frames}  grid={gh}x{gw}")
-    print(f"max pillar occupancy: {occ_max}")
-    print(f"recommended reader.pillar_capacity: {cap}  (margin {args.margin}x)")
+    knob = "reader.voxel_capacity" if three_d else "reader.pillar_capacity"
+    print(f"frames={args.frames}  grid={'x'.join(str(d) for d in ((gd, gh, gw) if three_d else (gh, gw)))}")
+    print(f"max {'voxel' if three_d else 'pillar'} occupancy: {occ_max}")
+    print(f"recommended {knob}: {cap}  (margin {args.margin}x)")
     if n_stage:
+        # NOTE fracs may exceed 1.0 (3-D strided dilation can GROW the
+        # active set before the 8:1 merge wins) — the backbones accept that
+        # (cap_out = int(cap * frac) clamped to the stage grid).
         fracs = [
-            round(min(1.0, stage_max[i] * args.margin / cap), 3)
-            for i in range(n_stage)
+            round(stage_max[i] * args.margin / cap, 3) for i in range(n_stage)
         ]
         print("per-stage max active set:", stage_max)
         print(f"recommended backbone.stage_capacity_frac: {fracs}")
