@@ -33,6 +33,7 @@ BATCH = 1
 N_POINTS = 200_000
 WARMUP = 2
 ITERS = 20
+REPS = 5  # timed loops; the headline is the MEDIAN rep (artifact defense)
 
 
 def main():
@@ -89,11 +90,33 @@ def main():
     for _ in range(WARMUP):
         fetch(engine.resolve([engine(pts_j, mask_j)])[0])
 
-    t0 = time.perf_counter()
-    outs = engine.resolve([engine(pts_j, mask_j) for _ in range(ITERS)])
-    fetch(outs[-1])
-    dt = time.perf_counter() - t0
-    fps = BATCH * ITERS / dt
+    # WARM-STATE GATE: a cold persistent-compile cache or a stalled device
+    # tunnel can make the first timed loop 5-10x slower than steady state
+    # (this corrupted the round-4 official record).  Keep running single
+    # frames until two consecutive latencies agree within 2x, then require
+    # the last one to be < 1 s/frame before any timed loop starts.
+    prev = None
+    for _ in range(10):
+        t0 = time.perf_counter()
+        fetch(engine.resolve([engine(pts_j, mask_j)])[0])
+        cur = time.perf_counter() - t0
+        if prev is not None and cur < 2 * prev and prev < 2 * cur and cur < 1.0:
+            break
+        prev = cur
+
+    def timed_loop():
+        t0 = time.perf_counter()
+        outs = engine.resolve([engine(pts_j, mask_j) for _ in range(ITERS)])
+        fetch(outs[-1])
+        return time.perf_counter() - t0
+
+    def run_reps():
+        per_iter_ms = sorted(timed_loop() / ITERS * 1000 for _ in range(REPS))
+        return per_iter_ms  # ascending
+
+    reps_ms = run_reps()
+    e2e_ms = reps_ms[len(reps_ms) // 2]  # median rep
+    fps = BATCH * 1000.0 / e2e_ms
 
     # stage breakdown (reader -> features -> +head -> +decode/NMS) so the
     # headline number is explainable; approximate MFU from the model's
@@ -121,7 +144,17 @@ def main():
 
     feat_ms = timeit(feat, lambda o: float(o))
     fwd_ms = timeit(fwd, lambda o: float(o))
-    e2e_ms = dt / ITERS * 1000
+
+    # INTERNAL CONSISTENCY CHECK: e2e should be ~= forward + decode/NMS
+    # (~3 ms).  A residual beyond 12 ms means the engine loop hit an
+    # environment stall (cold cache / tunnel hiccup), not the model —
+    # re-measure the whole rep set once; if it persists, flag the record.
+    suspect = False
+    if e2e_ms - fwd_ms > 12.0:
+        reps_ms = run_reps()
+        e2e_ms = reps_ms[len(reps_ms) // 2]
+        fps = BATCH * 1000.0 / e2e_ms
+        suspect = e2e_ms - fwd_ms > 12.0
     # MFU from XLA's own FLOP count of the compiled predict when available
     # (counts the sparse paths actually executed); hand count as fallback
     try:
@@ -145,10 +178,18 @@ def main():
                     "head": round(fwd_ms - feat_ms, 1),
                     "decode_nms": round(e2e_ms - fwd_ms, 1),
                     "e2e": round(e2e_ms, 1),
+                    "e2e_rep_min": round(reps_ms[0], 1),
+                    "e2e_rep_max": round(reps_ms[-1], 1),
                 },
+                "suspect": suspect,
                 "approx_mfu": round(model_tflop / (e2e_ms / 1000) / 98.3, 3),
                 "flops_src": flops_src,
-                "semantics": "bit-exact (masked_eval=true, approx_topk=false)",
+                "semantics": (
+                    "bit-exact sparse semantics (masked_eval=true,"
+                    " approx_topk=false); fused-PFN Pallas table <=1 ulp vs"
+                    " the unfused stack (exact detection sets on tested"
+                    " scenes; PNX_PALLAS_PFN=0 for strict)"
+                ),
                 "capacity_buckets": list(engine.buckets),
                 "overflow_repairs": engine.repaired,
             }
