@@ -33,6 +33,9 @@ CLASS_SPECS = {
     "bicycle": ((1.7, 0.6, 1.3), -1.1, True),
     "pedestrian": ((0.7, 0.7, 1.7), -0.9, True),
     "traffic_cone": ((0.4, 0.4, 0.7), -1.4, False),
+    # waymo naming (waymo_det configs; same physical archetypes)
+    "vehicle": ((4.7, 2.0, 1.7), -1.0, True),
+    "cyclist": ((1.8, 0.7, 1.7), -0.9, True),
 }
 
 
@@ -79,6 +82,7 @@ def synth_detection_scene(
     n_points: int,
     pc_range,
     n_objects: int = 24,
+    class_names=None,
 ):
     """One labeled scene: planted objects with surface-clustered points over a
     beam-structured background.
@@ -89,7 +93,9 @@ def synth_detection_scene(
     layout).  Object point counts scale with footprint and fall off with
     range so near/large objects dominate, like real scans.
     """
-    names = list(CLASS_SPECS)
+    names = list(class_names) if class_names is not None else [
+        n for n in CLASS_SPECS if n not in ("vehicle", "cyclist")
+    ]
     r_max = max(float(min(pc_range[3], -pc_range[0])) - 4.0, 1.0)
     r_min = min(4.0, r_max / 2)
     boxes = np.zeros((n_objects, 9), np.float32)

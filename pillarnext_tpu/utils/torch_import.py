@@ -456,6 +456,13 @@ def export_pillarnext(
         s["backbone"]["ConvBlock_0"]["BatchNorm_0"],
     )
 
+    _export_neck_head(sd, p, s, tasks, common_heads, num_hm_conv)
+    return sd
+
+
+def _export_neck_head(sd, p, s, tasks, common_heads, num_hm_conv=2):
+    """Shared ASPP-neck + CenterHead export (the layout is identical across
+    the pillar / voxel / mvf detector families)."""
     np_, ns = p["neck"], s["neck"]
     for j in range(2):
         _inv_conv_block(
@@ -507,6 +514,137 @@ def export_pillarnext(
             sd[f"head.tasks.{ti}.{bname}.{t_final}.bias"] = np.asarray(
                 bp[f"Conv_{ci}"]["bias"]
             )
+    return sd
+
+
+def _inv_conv3d_kernel(k: np.ndarray) -> np.ndarray:
+    """flax Conv3d (kz,ky,kx,I,O) -> torch Conv3d (O,I,kz,ky,kx)."""
+    return np.ascontiguousarray(np.transpose(np.asarray(k), (4, 3, 0, 1, 2)))
+
+
+def export_voxelnext(
+    params,
+    batch_stats,
+    *,
+    layer_nums=(2, 2, 2, 2),
+    ds_layer_strides=(1, 2, 2, 2),
+    tasks=(),
+    common_heads=None,
+    num_hm_conv=2,
+) -> dict[str, np.ndarray]:
+    """voxel18_aspp {params, batch_stats} (the SPARSE-path param tree of
+    SparseResNet3D, models/resnet.py:_sparse_forward) -> a reference-named
+    torch state_dict for tests/torch_mirror3d.TVoxelModel (module names
+    follow reference sparse_resnet3d.py:9-48: blocks.{i}.{j}, extra_conv,
+    mapping).  The reader (mean VFE) has no parameters.
+
+    NOTE the depth-fold ordering caveat in torch_mirror3d's module docstring:
+    this export is framework->mirror; importing a REFERENCE-trained voxel
+    checkpoint would additionally need the c*D+d -> d*C+c permutation on the
+    neck's input stream.
+    """
+    p, s = params, batch_stats
+    sd: dict[str, np.ndarray] = {}
+    bp, bs = p["backbone"], s["backbone"]
+
+    for si, (n_blocks, stride) in enumerate(zip(layer_nums, ds_layer_strides)):
+        if stride == 1:
+            # SparseConvBlock: Conv_0 + BatchNorm_0
+            sd[f"backbone.blocks.{si}.0.conv.weight"] = _inv_conv3d_kernel(
+                bp[f"stage_{si}_down"]["Conv_0"]["kernel"]
+            )
+            _inv_bn(
+                sd, f"backbone.blocks.{si}.0.norm",
+                bp[f"stage_{si}_down"]["BatchNorm_0"],
+                bs[f"stage_{si}_down"]["BatchNorm_0"],
+            )
+        else:
+            # _SparseDownConv + separate MaskedBatchNorm
+            sd[f"backbone.blocks.{si}.0.conv.weight"] = _inv_conv3d_kernel(
+                bp[f"stage_{si}_down"]["kernel"]
+            )
+            _inv_bn(
+                sd, f"backbone.blocks.{si}.0.norm",
+                bp[f"stage_{si}_down_bn"], bs[f"stage_{si}_down_bn"],
+            )
+        for bi in range(n_blocks):
+            rp = bp[f"stage_{si}_block_{bi}"]
+            rs = bs[f"stage_{si}_block_{bi}"]
+            sd[f"backbone.blocks.{si}.{bi + 1}.block1.conv.weight"] = (
+                _inv_conv3d_kernel(rp["ConvBlock_0"]["Conv_0"]["kernel"])
+            )
+            _inv_bn(
+                sd, f"backbone.blocks.{si}.{bi + 1}.block1.norm",
+                rp["ConvBlock_0"]["BatchNorm_0"], rs["ConvBlock_0"]["BatchNorm_0"],
+            )
+            sd[f"backbone.blocks.{si}.{bi + 1}.conv2.weight"] = (
+                _inv_conv3d_kernel(rp["Conv_0"]["kernel"])
+            )
+            _inv_bn(
+                sd, f"backbone.blocks.{si}.{bi + 1}.norm2",
+                rp["BatchNorm_0"], rs["BatchNorm_0"],
+            )
+
+    sd["backbone.extra_conv.0.weight"] = _inv_conv3d_kernel(
+        bp["extra_conv"]["kernel"]
+    )
+    _inv_bn(sd, "backbone.extra_conv.1", bp["extra_conv_bn"], bs["extra_conv_bn"])
+    # SubM 1x1x1 mapping: flax Dense (I, O) -> torch conv (O, I, 1, 1, 1)
+    sd["backbone.mapping.conv.weight"] = np.ascontiguousarray(
+        np.asarray(bp["mapping"]["kernel"]).T
+    )[:, :, None, None, None]
+    _inv_bn(sd, "backbone.mapping.norm", bp["mapping_bn"], bs["mapping_bn"])
+
+    if "neck" in p:  # backbone-only trees allowed (tests)
+        _export_neck_head(sd, p, s, tasks, common_heads, num_hm_conv)
+    return sd
+
+
+def export_mvfnext(
+    params,
+    batch_stats,
+    *,
+    num_filters=(48, 48),
+    layer_nums=(2, 2, 2, 2),
+    tasks=(),
+    common_heads=None,
+    num_hm_conv=2,
+) -> dict[str, np.ndarray]:
+    """mvf18_aspp {params, batch_stats} -> a torch state_dict for
+    tests/torch_mirror_mvf.TMVFModel (reader MVFFeatureNet,
+    models/mvf_encoder.py — two view towers + fusion PointNets; reference
+    det3d/models/readers/mvf_encoder.py:19-327)."""
+    p, s = params, batch_stats
+    sd: dict[str, np.ndarray] = {}
+    rp, rs = p["reader"], s["reader"]
+
+    def pointnet(prefix, pp, ps):
+        sd[f"{prefix}.linear.weight"] = np.ascontiguousarray(
+            np.asarray(pp["Dense_0"]["kernel"]).T
+        )
+        _inv_bn(sd, f"{prefix}.norm", pp["MaskedBatchNorm_0"], ps["MaskedBatchNorm_0"])
+
+    for view in ("pillar_view", "cylinder_view"):
+        vp, vs = rp[view], rs[view]
+        for i in range(len(num_filters)):
+            pointnet(f"reader.{view}.pfn.{i}", vp[f"PFNLayer_{i}"], vs[f"PFNLayer_{i}"])
+        blk = 0
+        for i, n_blocks in enumerate(layer_nums):
+            _inv_conv_block(
+                sd, f"reader.{view}.blocks.{i}.0",
+                vp[f"ConvBlock_{i}"], vs[f"ConvBlock_{i}"],
+            )
+            for j in range(n_blocks):
+                _inv_residual_block(
+                    sd, f"reader.{view}.blocks.{i}.{j + 1}",
+                    vp[f"ResidualBlock_{blk}"], vs[f"ResidualBlock_{blk}"],
+                )
+                blk += 1
+    pointnet("reader.pointnet1", rp["pointnet1"], rs["pointnet1"])
+    pointnet("reader.pointnet2", rp["pointnet2"], rs["pointnet2"])
+
+    if "neck" in p:  # reader-only trees allowed (tests)
+        _export_neck_head(sd, p, s, tasks, common_heads, num_hm_conv)
     return sd
 
 

@@ -59,7 +59,10 @@ def _overfit_on_scene(cfg, steps, seed, n_points):
 
     rng = np.random.default_rng(seed + 7)
     pc = cfg["model"]["reader"]["pc_range"]
-    pts, gt, names = synth_detection_scene(rng, n_points, pc, n_objects=24)
+    cls = [c for t in cfg["model"]["head"]["tasks"] for c in t]
+    pts, gt, names = synth_detection_scene(
+        rng, n_points, pc, n_objects=24, class_names=cls
+    )
     mc = copy.deepcopy(cfg["model"])
     mc["dtype"] = "bfloat16"
     model = builders.build_model(mc)
@@ -255,10 +258,16 @@ def main():
     print(f"jax predict: {time.perf_counter() - t0:.0f}s, "
           f"{len(ours['scores'])} detections", flush=True)
 
-    # ---- compare: greedy nearest-center matching (score-sorted positional
-    # pairing mispairs near-tied scores — with random weights many detections
-    # score within 1e-4 of each other and order is not stable across
-    # implementations)
+    compare_detections(ref, ours, test_cfg, overfit=bool(args.overfit))
+
+
+def compare_detections(ref, ours, test_cfg, *, overfit, family="FLAGSHIP"):
+    """Greedy nearest-center 1:1 matching + the parity verdict (shared by
+    the voxel/mvf family parity tools).  Asserts count equality always;
+    with ``overfit`` (trained weights) asserts EXACT set equality."""
+    # score-sorted positional pairing mispairs near-tied scores — with
+    # random weights many detections score within 1e-4 of each other and
+    # order is not stable across implementations
     def key(d):
         return np.argsort(-d["scores"], kind="stable")
 
@@ -331,14 +340,14 @@ def main():
                 f"{dist.min():.2e}/{np.median(dist):.2e}/{dist.max():.2e}",
                 flush=True,
             )
-    if args.overfit:
+    if overfit:
         # Trained weights: score margins exist, so the detection SETS must be
         # exactly equal — every detection 1:1 matched with the same label and
         # cross-hardware-f32-tight boxes/scores.  (Count equality was already
         # hard-asserted above.)
         assert frac == 1.0, f"trained-weight parity: only {frac:.1%} matched"
         assert db.max() < 1e-2 and ds.max() < 1e-3, (db.max(), ds.max())
-        print("TRAINED-WEIGHT FLAGSHIP-PARITY OK (exact set equality)", flush=True)
+        print(f"TRAINED-WEIGHT {family}-PARITY OK (exact set equality)", flush=True)
         return
     # Why not set equality with random weights: a RANDOM-weight flagship's
     # entire kept-score mass lies within ~0.02 of score_threshold (max raw
@@ -348,7 +357,7 @@ def main():
     # <1e-3 in score and to one output cell in position; --overfit runs the
     # trained-weight variant where exact set equality IS asserted.
     assert frac >= 0.85 and db.max() < 0.5 and ds.max() < 2e-3
-    print("FLAGSHIP-PARITY OK", flush=True)
+    print(f"{family}-PARITY OK", flush=True)
 
 
 if __name__ == "__main__":

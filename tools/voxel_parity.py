@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Trained-weight detection-set parity for the VOXEL family (voxel18_aspp)
+at the CONFIG grid (1344^2 x 40 voxels, 6 task groups).
+
+Same instrument as tools/flagship_parity.py --overfit, for the 3-D sparse
+model family: overfit the jax voxel18 on a planted synthetic scene ON THE
+CHIP (minutes), export the weights into the torch CPU mirror
+(tests/torch_mirror3d.TVoxelModel — explicit gather-based spconv semantics,
+reference det3d sparse_resnet3d.py:9-72 / voxel_encoder.py:12-87), run BOTH
+full pipelines on the same frame, and assert EXACT detection-set equality
+(tools/flagship_parity.compare_detections).
+
+The mirror's sparse convs are pure torch/numpy on the host CPU: feasible at
+the config grid because cost is O(active voxels), not O(72M cells).
+
+Usage: python tools/voxel_parity.py [--points 200000] [--overfit 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+sys.path.insert(0, str(REPO / "tools"))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=200_000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--overfit", type=int, default=30, metavar="STEPS")
+    ap.add_argument(
+        "--heads", action="store_true",
+        help="compare raw per-task head outputs instead of decoded boxes",
+    )
+    args = ap.parse_args()
+
+    import torch
+
+    import torch_mirror as tm
+    import torch_mirror3d as tm3
+    from flagship_parity import _overfit_on_scene, compare_detections
+    from pillarnext_tpu.utils import builders
+    from pillarnext_tpu.utils import torch_import as ti
+    from pillarnext_tpu.utils.config import load_experiment
+
+    cfg = load_experiment(
+        REPO / "pillarnext_tpu/configs/experiments/nusc_det_voxel18_aspp_iou_sp.yaml",
+        [
+            "model.dtype=float32",
+            "model.post_processing.approx_topk=false",
+        ],
+    )
+    mc = cfg["model"]
+    tasks = [list(t) for t in mc["head"]["tasks"]]
+    common = {k: tuple(v) for k, v in mc["head"]["common_heads"].items()}
+    rectifier = mc["head"]["rectifier"]
+    num_classes = [len(t) for t in tasks]
+
+    print(f"overfitting jax voxel18 for {args.overfit} steps on chip...", flush=True)
+    params, stats, pts, mask = _overfit_on_scene(
+        cfg, args.overfit, args.seed, args.points
+    )
+    variables = {"params": params, "batch_stats": stats}
+
+    tmodel = tm3.TVoxelModel(
+        num_input_features=mc["reader"]["num_input_features"]
+        if "num_input_features" in mc["reader"] else 5,
+        voxel_size=mc["reader"]["voxel_size"],
+        pc_range=mc["reader"]["pc_range"],
+        bb_filters=tuple(mc["backbone"]["ds_num_filters"]),
+        bb_strides=tuple(mc["backbone"]["ds_layer_strides"]),
+        bb_layer_nums=tuple(mc["backbone"]["layer_nums"]),
+        out_channels=mc["backbone"]["out_channels"],
+        tasks=tasks,
+        common_heads=common,
+        head_stride=mc["head"]["strides"][0],
+    ).eval()
+    sd = ti.export_voxelnext(
+        params, stats,
+        layer_nums=tuple(mc["backbone"]["layer_nums"]),
+        ds_layer_strides=tuple(mc["backbone"]["ds_layer_strides"]),
+        tasks=tasks, common_heads=common,
+    )
+    missing, unexpected = tmodel.load_state_dict(
+        {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected
+    assert all(m.endswith("num_batches_tracked") for m in missing), missing
+
+    model = builders.build_model(mc)
+
+    # ---- torch mirror full pipeline on the host CPU
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        preds = tmodel(np.asarray(pts)[0][np.asarray(mask)[0].astype(bool)])
+    preds_np = [{k: v.numpy() for k, v in pd.items()} for pd in preds]
+    print(f"torch mirror forward: {time.perf_counter() - t0:.0f}s", flush=True)
+
+    test_cfg = dict(mc["post_processing"])
+    test_cfg["pc_range"] = mc["reader"]["pc_range"]
+    test_cfg["voxel_size"] = mc["reader"]["voxel_size"]
+    test_cfg["out_size_factor"] = mc["head"]["out_size_factor"]
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.heads:
+        jp = jax.jit(lambda v, p, m: model.apply(v, p, m))(
+            variables, jnp.asarray(pts), jnp.asarray(mask)
+        )
+        worst = 0.0
+        for ti_, (tp, jd) in enumerate(zip(preds_np, jp)):
+            for k, tv in tp.items():
+                jv = np.transpose(np.asarray(jd[k]), (0, 3, 1, 2))
+                d = float(np.abs(tv - jv).max())
+                print(f"task {ti_} {k:7s} max|delta| {d:.3e}", flush=True)
+                worst = max(worst, d)
+        print(f"HEADS max|delta| = {worst:.3e}", flush=True)
+        return
+
+    ref = tm.reference_predict(preds_np, test_cfg, rectifier, num_classes)[0]
+    print(f"torch mirror: {len(ref['scores'])} detections", flush=True)
+
+    t0 = time.perf_counter()
+    out = jax.jit(
+        lambda v, p, m: model.apply(
+            v, {"points": p, "points_mask": m}, method=model.predict
+        )
+    )(variables, jnp.asarray(pts), jnp.asarray(mask))
+    out = jax.tree.map(np.asarray, out)
+    valid = out["valid"][0]
+    ours = {
+        "box3d_lidar": out["box3d_lidar"][0][valid],
+        "scores": out["scores"][0][valid],
+        "label_preds": out["label_preds"][0][valid],
+    }
+    print(f"jax predict: {time.perf_counter() - t0:.0f}s, "
+          f"{len(ours['scores'])} detections", flush=True)
+
+    compare_detections(ref, ours, test_cfg, overfit=True, family="VOXEL18")
+
+
+if __name__ == "__main__":
+    main()
