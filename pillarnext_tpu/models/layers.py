@@ -26,13 +26,56 @@ BN_EPS_DENSE = 1e-5        # neck/head blocks use torch defaults (conv.py:27)
 BN_MOMENTUM_DENSE = 0.9    # torch momentum 0.1
 
 
+class _PackedDownConv(nn.Module):
+    """Stride-2 3x3 conv evaluated as a dense 2x2 conv over a 2x2-packed
+    input (B, H/2, W/2, 4*Cin) with q = (dy*2 + dx)*Cin + c
+    (ops/sparse_bev.py:to_dense_packed).
+
+    Tap (a, b) of the 3x3/stride-2 conv reads input row 2y + a - 1, which
+    lives in packed row (y-1, dy=1) for a == 0 and (y, dy=a-1) otherwise —
+    so the 9 taps fit a 2x2 kernel over 4*Cin channels, padding (1, 0).
+    The parameter is the SAME (3, 3, Cin, F) kernel as nn.Conv (checkpoints
+    interchange); the rearrangement happens at apply time.  Same sums as the
+    strided conv up to f32-accumulation order (bit-equal on the CPU
+    equivalence tests).  Motivation and in-situ REFUTATION on v5e flagship
+    are recorded at SparseResNet.packed_downsample (ships opt-in, off by
+    default)."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1] // 4
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features)
+        )
+        k2 = jnp.zeros((2, 2, 4, cin, self.features), kernel.dtype)
+        for a in range(3):
+            ka, dy = (0, 1) if a == 0 else (1, a - 1)
+            for b in range(3):
+                kb, dx = (0, 1) if b == 0 else (1, b - 1)
+                k2 = k2.at[ka, kb, dy * 2 + dx].set(kernel[a, b])
+        k2 = k2.reshape(2, 2, 4 * cin, self.features)
+        if self.dtype is not None:
+            x, k2 = x.astype(self.dtype), k2.astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x, k2, (1, 1), ((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ConvBlock(nn.Module):
     """Conv2D (no bias) + BN + ReLU over NHWC, 'same' padding.
 
     ``mask`` (B, H_out, W_out, 1) restricts the block to an active set: BN
     statistics are computed over active cells only and the output is
     re-zeroed outside them — the dense-compute twin of a SubM/Sparse conv
-    block (reference sparse_conv.py:16-39; see models/resnet.py)."""
+    block (reference sparse_conv.py:16-39; see models/resnet.py).
+
+    ``packed_input=True``: the input is 2x2-packed (B, H/2, W/2, 4*Cin) and
+    the conv runs as _PackedDownConv (requires kernel 3, stride 2); the
+    parameter tree is unchanged."""
 
     features: int
     kernel_size: int = 3
@@ -40,6 +83,7 @@ class ConvBlock(nn.Module):
     dilation: int = 1
     bn_eps: float = BN_EPS_DENSE
     bn_momentum: float = BN_MOMENTUM_DENSE
+    packed_input: bool = False
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -49,15 +93,19 @@ class ConvBlock(nn.Module):
         # "SAME" pads (0, 1) for stride 2 on even inputs, shifting the grid
         # one pixel vs the reference — fatal for imported weights
         pad = (self.kernel_size // 2) * self.dilation
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            kernel_dilation=(self.dilation, self.dilation),
-            padding=((pad, pad), (pad, pad)),
-            use_bias=False,
-            dtype=self.dtype,
-        )(x)
+        if self.packed_input:
+            assert self.kernel_size == 3 and self.stride == 2 and self.dilation == 1
+            x = _PackedDownConv(self.features, dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                kernel_dilation=(self.dilation, self.dilation),
+                padding=((pad, pad), (pad, pad)),
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
         if mask is not None:
             x = MaskedBatchNorm(
                 eps=self.bn_eps,

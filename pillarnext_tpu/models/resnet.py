@@ -389,6 +389,7 @@ class _Stage(nn.Module):
     stride: int
     kernel_size: int
     num_blocks: int
+    packed_input: bool = False  # input is 2x2-packed (see _PackedDownConv)
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -402,6 +403,7 @@ class _Stage(nn.Module):
             stride=self.stride,
             bn_eps=BN_EPS_SPARSE,
             bn_momentum=BN_MOMENTUM_SPARSE,
+            packed_input=self.packed_input,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="down",
@@ -461,9 +463,24 @@ class SparseResNet(nn.Module):
     # LiDAR dilates ~1.3x before the 4:1 merge; diffuse clutter up to
     # 2.25x).  EVAL defaults to 'leading': at eval the masked-dense tail's
     # large-grid convs are MXU-bound and beat capacity-sized gather convs
-    # (measured 55 vs 96 ms features at B=1 flagship).
+    # (measured 55 vs 96 ms features at B=1 flagship).  Re-A/B'd in r5
+    # AFTER the tap-decomposed gathers + table-build cuts: 'leading+down'
+    # still loses (features 62 vs 58-59 ms, tools/perf_probe.py feat,
+    # PNX_SPARSE_LD=1) — the sparse strided stage's table builds cost more
+    # than the full-grid densify + first dense conv they avoid.
     sparse_stages_train: str = "all"
     sparse_stages_eval: str = "leading"
+    # eval-only OPT-IN: densify the sparse prefix's output 2x2-packed and run
+    # the first strided down conv as a dense 2x2 conv (_PackedDownConv).
+    # Motivated by the isolated measurements (the full-res strided conv runs
+    # 11.9% MFU on v5e, and interleaved-gather + 2x2 conv beat isolated
+    # densify + strided conv 8.5 vs 11.0 ms — tools/stage1_probe.py,
+    # tools/packed_probe.py) but REFUTED in situ: flagship features measure
+    # 62 ms packed vs 58-59 baseline (tools/perf_probe.py feat) — XLA fuses
+    # the production densify+conv chain better than the isolated A/B
+    # suggests.  Kept off; same param tree either way (equivalence-tested in
+    # tests; may win on other chips / channel widths)
+    packed_downsample: bool = False
     # 'tile' stages_mode / tile_stride1: run stride-1 (SubM) stages over the
     # active-TILE stack instead of per-site gather convs (ops/tile_subm.py):
     # the halo gather costs ~9 x n_tiles descriptors per conv instead of
@@ -498,6 +515,7 @@ class SparseResNet(nn.Module):
         """
         start = 0
         mask = None
+        packed = False
         if isinstance(x, SparseBEV):
             sb = x
             n_sparse = 0
@@ -536,8 +554,25 @@ class SparseResNet(nn.Module):
                         dtype=self.dtype,
                         name=f"stage_{i}",
                     )(feats, sb.valid, nbr, train)
-                x = sb.with_table(feats).to_dense()
                 start = n_sparse
+                # eval-only: densify straight into the 2x2-packed layout so
+                # the next stage's stride-2 down conv runs as a dense 2x2
+                # conv (11.9% -> ~60% MFU on the down conv, see
+                # _PackedDownConv / tools/stage1_probe.py); same gather
+                # descriptor count as the full-res densify
+                packed = (
+                    not train
+                    and self.packed_downsample
+                    and start < len(self.layer_nums)
+                    and self.ds_layer_strides[start] == 2
+                    and self.kernel_size[start] == 3
+                    and sb.spatial[0] % 2 == 0
+                    and sb.spatial[1] % 2 == 0
+                )
+                if packed:
+                    x = sb.with_table(feats).to_dense_packed()
+                else:
+                    x = sb.with_table(feats).to_dense()
             else:
                 x = sb.to_dense()
             mask = mask.astype(x.dtype)
@@ -581,6 +616,7 @@ class SparseResNet(nn.Module):
                 self.ds_layer_strides[i],
                 self.kernel_size[i],
                 self.layer_nums[i],
+                packed_input=(packed and i == start),
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 name=f"stage_{i}",

@@ -41,3 +41,29 @@ class SparseBEV:
         """(B, *spatial, C) via one gather (O(cap) backward, ops/densify.py)."""
         dense = densify(self.table, self.slot_of_dense, self.slot_id)
         return dense.reshape(self.batch, *self.spatial, self.table.shape[-1])
+
+    def to_dense_packed(self) -> jnp.ndarray:
+        """EVAL-ONLY: (B, H/2, W/2, 4C) with each 2x2 spatial cell packed
+        into channels (q = (dy*2 + dx)*C + c) — the layout the packed
+        stride-2 down conv consumes directly (models/layers._PackedDownConv).
+
+        ONE gather in interleaved index order (idx[Y, X, dy, dx] =
+        slot_of_dense[2Y+dy, 2X+dx]) + a free minor-dim reshape — measured
+        5.40 ms vs 5.28 for the plain densify at the flagship shape, while
+        4 subgrid gathers + channel concat cost 23.7 ms (lane-offset
+        writes) — tools/packed_probe.py.  The consumer then runs the
+        3x3/stride-2 down conv as a dense 2x2 conv: the strided conv at
+        full resolution measured 11.9% MFU on v5e (tools/stage1_probe.py);
+        gather+packed-conv together measured 8.5 ms vs 11.0 for
+        densify+strided-conv.  Forward-only (plain gather, no O(cap)
+        custom VJP): the eval path never differentiates it.
+        """
+        b, (h, w) = self.batch, self.spatial
+        assert h % 2 == 0 and w % 2 == 0, "packed densify needs even H, W"
+        c = self.table.shape[-1]
+        idx = (
+            self.slot_of_dense.reshape(b, h // 2, 2, w // 2, 2)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(-1)
+        )
+        return self.table[idx].reshape(b, h // 2, w // 2, 4 * c)

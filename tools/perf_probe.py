@@ -40,6 +40,12 @@ if os.environ.get("PNX_SPARSE_ALL"):
     cfg["model"]["backbone"]["sparse_stages_eval"] = "all"
 if os.environ.get("PNX_SPARSE_LEADING"):
     cfg["model"]["backbone"]["sparse_stages_train"] = "leading"
+if os.environ.get("PNX_SPARSE_LD"):
+    # r5 re-A/B: sparse prefix + sparse strided downsample, densify at 672^2
+    # (lost at r3, 12.19 vs 12.61 fps — but predates the r4 tap-decomposed
+    # gathers and the a415c17 table-build cuts, both of which it benefits
+    # from and the full-grid densify path does not)
+    cfg["model"]["backbone"]["sparse_stages_eval"] = "leading+down"
 if os.environ.get("PNX_STAGE_FRACS"):
     cfg["model"]["backbone"]["stage_capacity_frac"] = [
         float(f) for f in os.environ["PNX_STAGE_FRACS"].split(",")
