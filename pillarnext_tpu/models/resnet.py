@@ -897,11 +897,16 @@ class SparseResNet3D(nn.Module):
     # O(capacity) regardless of the active count, so carrying the reader
     # capacity through all stages (the pre-round-3 behavior, = all-1.0) makes
     # the deep wide stages 4-8x more expensive than their active sets need.
-    # A strided SparseConv first DILATES the set (<= k^3 x) then merges 8:1
-    # cells, so per-stage counts shrink ~2x on LiDAR data; defaults keep
-    # ~1.6x headroom over that.  Undersized capacities FAIL LOUDLY via the
-    # overflow telemetry (the Trainer raises) — never silent truncation.
-    stage_capacity_frac: Sequence[float] = (1.0, 0.625, 0.3125, 0.15625, 0.15625)
+    # A strided SparseConv3d first DILATES the set (<= 27x) then merges 8:1
+    # cells — and at LiDAR voxel density the dilation WINS at the first
+    # strided stage: occupancy replay at both config grids measures the
+    # stage-1 active set at ~1.44x the reader count (nusc 140573 -> 197715,
+    # waymo 141768 -> 204311; tools/calibrate_capacity.py), shrinking only
+    # from stage 2 on.  The old (1.0, 0.625, ...) default undersized
+    # stage 1.  Undersized capacities FAIL LOUDLY via the overflow
+    # telemetry (the Trainer raises) — never silent truncation; calibrate
+    # per dataset with tools/calibrate_capacity.py.
+    stage_capacity_frac: Sequence[float] = (1.0, 1.5, 0.9, 0.4, 0.25)
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 

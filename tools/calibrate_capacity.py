@@ -133,6 +133,28 @@ def main() -> None:
             occ = pool_or_z(occ)
             stage_max[len(strides)] = max(stage_max[len(strides)], int(occ.sum()))
 
+    # MVF second view: cylinder (phi, z) occupancy (models/mvf_encoder.py)
+    if "cylinder_range" in rd:
+        cyl = [float(v) for v in rd["cylinder_range"]]
+        cvs = [float(v) for v in rd["cylinder_size"]]
+        cw = int(round((cyl[3] - cyl[0]) / cvs[0]))
+        ch = int(round((cyl[4] - cyl[1]) / cvs[1]))
+        cyl_max = 0
+        for xyz in frames():
+            ok = np.ones(len(xyz), bool)
+            for ax in range(3):
+                ok &= (xyz[:, ax] >= pc[ax]) & (xyz[:, ax] < pc[ax + 3])
+            q = xyz[ok]
+            phi = np.arctan2(q[:, 1], q[:, 0]) / np.pi * 180.0
+            uc = np.clip(np.floor((phi - cyl[0]) / cvs[0]).astype(np.int64), 0, cw - 1)
+            vc = np.clip(np.floor((q[:, 2] - cyl[1]) / cvs[1]).astype(np.int64), 0, ch - 1)
+            cyl_max = max(cyl_max, len(np.unique(vc * cw + uc)))
+        print(f"max cylinder occupancy: {cyl_max} @{ch}x{cw}")
+        print(
+            f"recommended reader.cylinder_capacity: "
+            f"{round_up(int(cyl_max * args.margin))}  (margin {args.margin}x)"
+        )
+
     cap = round_up(int(occ_max * args.margin))
     knob = "reader.voxel_capacity" if three_d else "reader.pillar_capacity"
     print(f"frames={args.frames}  grid={'x'.join(str(d) for d in ((gd, gh, gw) if three_d else (gh, gw)))}")

@@ -92,6 +92,12 @@ def _overfit_on_scene(cfg, steps, seed, n_points):
         state, (scalars, _) = step(state, example)
         if i == 0:
             first = float(scalars["loss"])
+            # raw-step path (no Trainer): an undersized capacity would
+            # silently truncate the active set — fail loudly like the
+            # Trainer does (calibrate with tools/calibrate_capacity.py)
+            assert int(scalars["overflow"]) == 0, (
+                f"capacity overflow in overfit step: {scalars['telemetry']}"
+            )
     last = float(scalars["loss"])
     print(
         f"overfit: {steps} steps in {time.perf_counter() - t0:.0f}s, "

@@ -50,7 +50,7 @@ def main():
         REPO / "pillarnext_tpu/configs/experiments/waymo_det_mvf18_aspp_iou_car.yaml",
         [
             "model.dtype=float32",
-            "model.post_processing.approx_topk=false",
+            "+model.post_processing.approx_topk=false",
         ],
     )
     mc = cfg["model"]
@@ -125,11 +125,21 @@ def main():
     print(f"torch mirror: {len(ref['scores'])} detections", flush=True)
 
     t0 = time.perf_counter()
-    out = jax.jit(
+    out, tel = jax.jit(
         lambda v, p, m: model.apply(
-            v, {"points": p, "points_mask": m}, method=model.predict
+            v, {"points": p, "points_mask": m}, method=model.predict,
+            mutable="telemetry",
         )
     )(variables, jnp.asarray(pts), jnp.asarray(mask))
+    # a capacity overflow would SILENTLY truncate the active set in this
+    # raw-jit path (no Trainer / AdaptivePredictor repair) and masquerade
+    # as a parity mismatch — fail loudly instead
+    ov = {
+        jax.tree_util.keystr(path): int(np.asarray(leaf).sum())
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tel)[0]
+        if "overflow" in jax.tree_util.keystr(path)
+    }
+    assert not any(ov.values()), f"capacity overflow in jax predict: {ov}"
     out = jax.tree.map(np.asarray, out)
     valid = out["valid"][0]
     ours = {
