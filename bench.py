@@ -191,6 +191,7 @@ def main():
                     " scenes; PNX_PALLAS_PFN=0 for strict)"
                 ),
                 "capacity_buckets": list(engine.buckets),
+                    "operating_bucket": engine._operating_bucket(),
                 "overflow_repairs": engine.repaired,
             }
         )

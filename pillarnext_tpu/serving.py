@@ -25,6 +25,16 @@ dead rows disappear — equivalence-tested in tests/test_serving.py), so the
 resolved outputs always equal the largest-capacity results while typical
 frames run at the cheapest safe capacity.  Dispatch stays fully pipelined:
 no device fetch happens until ``resolve``.
+
+CAPACITY TRACKING (``track_capacity``, default on): every resolve also
+reads the frame's true reader active-site count from the same telemetry
+transfer and learns the stream's per-sample requirement; the operating
+bucket becomes ``ceil(peak * track_margin)`` quantized up to
+``track_quantum`` — typically tighter than any hand-chosen ladder (the
+static ladder is still the starting point and the repair ceiling, and the
+learned bucket can only LOWER the dispatch capacity, never raise it above
+the ladder's choice).  Exactness is unchanged: overflow at the learned
+bucket repairs at the max bucket like any other.
 """
 
 from __future__ import annotations
@@ -44,6 +54,7 @@ def _round_cap(c: int, quantum: int = 4096) -> int:
 class _Pending:
     out: Any  # device detection dict
     overflow: Any  # () int32 device scalar
+    active: Any  # () int32 device scalar — reader active-site count
     inputs: tuple  # (points, mask) — kept for a possible repair
     bucket: int
 
@@ -68,6 +79,22 @@ class AdaptivePredictor:
     buckets: Sequence[int] | None = None
     level: int = 0  # current operating bucket index
     repaired: int = 0  # frames recomputed at the max bucket so far
+    # CAPACITY TRACKING: learn the operating bucket from the measured
+    # active-site counts instead of the static ladder.  Every resolve
+    # records the per-sample active-set requirement (the compact table is a
+    # shared pool across the batch, so requirement = ceil(total_active/B));
+    # the operating bucket becomes round_up(peak * margin) once any frame
+    # has been observed.  The peak never decays (conservative: a stream
+    # that shrinks keeps the proven-safe bucket), overflow still repairs
+    # bit-exactly at the max bucket, and a no-overflow frame at a smaller
+    # capacity is provably bit-identical (module docstring) — so tracking
+    # changes cost, never results.  New buckets compile lazily on first
+    # dispatch (warm them by streaming a few representative frames).
+    track_capacity: bool = True
+    track_margin: float = 1.06
+    track_quantum: int = 4096
+    peak_required: int = 0  # largest per-sample active requirement seen
+    _learned: int | None = None
     _fns: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -126,16 +153,50 @@ class AdaptivePredictor:
                     ),
                     start=0,
                 )
-                return out, ov
+                # reader active-site count (capacity-tracking signal); the
+                # reader's compact table is what the bucket sizes.  NB the
+                # substring match deliberately excludes the stage/tile/
+                # cylinder counters — the bucket scales pillar/voxel
+                # capacity only
+                act = sum(
+                    (
+                        leaf.max().astype("int32")
+                        for path, leaf in flat
+                        if "pillar_active" in jax.tree_util.keystr(path)
+                        or "voxel_active" in jax.tree_util.keystr(path)
+                    ),
+                    start=0,
+                )
+                return out, ov, act
 
             self._fns[bucket] = f
         return self._fns[bucket]
 
     def __call__(self, points, mask) -> _Pending:
         """Dispatch one batch at the current bucket (no host sync)."""
-        bucket = self.buckets[self.level]
-        out, ov = self._fn(bucket)(self.variables, points, mask)
-        return _Pending(out, ov, (points, mask), bucket)
+        bucket = self._operating_bucket()
+        out, ov, act = self._fn(bucket)(self.variables, points, mask)
+        return _Pending(out, ov, act, (points, mask), bucket)
+
+    def _operating_bucket(self) -> int:
+        """Current dispatch capacity: the static ladder's bucket, improved
+        (never worsened) by the learned requirement once frames have been
+        observed."""
+        b = self.buckets[self.level]
+        if self.track_capacity and self._learned is not None:
+            b = min(b, self._learned)
+        return int(b)
+
+    def _observe(self, required: int):
+        """Feed one frame's per-sample active requirement into the tracker."""
+        if required <= self.peak_required:
+            return
+        self.peak_required = required
+        if not self.track_capacity:
+            return
+        q = self.track_quantum
+        cand = -(-int(required * self.track_margin) // q) * q  # ceil quantize
+        self._learned = int(min(max(cand, q), self.buckets[-1]))
 
     def resolve(self, pending: Sequence[_Pending]) -> list:
         """Fence; repair any overflowed frames at the max bucket; return the
@@ -145,15 +206,25 @@ class AdaptivePredictor:
         if not pending:
             return []
         max_bucket = self.buckets[-1]
-        # ONE host transfer for all flags (per-scalar fetches cost a device
-        # round-trip each — expensive through remote-TPU runtimes)
-        flags = np.asarray(jnp.stack([jnp.asarray(p.overflow) for p in pending]))
+        # ONE host transfer for all flags + active counts (per-scalar
+        # fetches cost a device round-trip each — expensive through
+        # remote-TPU runtimes)
+        flags = np.asarray(
+            jnp.stack(
+                [
+                    jnp.stack([jnp.asarray(p.overflow), jnp.asarray(p.active)])
+                    for p in pending
+                ]
+            )
+        )
         outs = []
-        for p, overflowed in zip(pending, flags > 0):
-            if overflowed and p.bucket < max_bucket:
+        for p, (overflowed, active) in zip(pending, flags):
+            batch = int(p.inputs[0].shape[0])
+            if overflowed > 0 and p.bucket < max_bucket:
                 # frame exceeded the optimistic capacity: recompute exactly
-                out, ov = self._fn(max_bucket)(self.variables, *p.inputs)
-                if int(np.asarray(ov)) > 0:
+                out, ov, act = self._fn(max_bucket)(self.variables, *p.inputs)
+                ov_act = np.asarray(jnp.stack([jnp.asarray(ov), jnp.asarray(act)]))
+                if int(ov_act[0]) > 0:
                     raise RuntimeError(
                         "active set overflows even the largest capacity "
                         f"bucket ({max_bucket}); raise reader.pillar_capacity "
@@ -163,7 +234,8 @@ class AdaptivePredictor:
                 outs.append(out)
                 self.repaired += 1
                 self.level = len(self.buckets) - 1  # stop being optimistic
-            elif overflowed:
+                self._observe(-(-int(ov_act[1]) // batch))
+            elif overflowed > 0:
                 raise RuntimeError(
                     "active set overflows the largest capacity bucket "
                     f"({max_bucket}); raise reader.pillar_capacity "
@@ -172,6 +244,7 @@ class AdaptivePredictor:
                 )
             else:
                 outs.append(p.out)
+                self._observe(-(-int(active) // batch))
         return outs
 
     def predict(self, points, mask):
@@ -180,9 +253,18 @@ class AdaptivePredictor:
 
     def warmup(self, points, mask):
         """Compile + run every bucket once (so an overflow repair never pays
-        a compile inside a latency-sensitive serving loop)."""
+        a compile inside a latency-sensitive serving loop).  With capacity
+        tracking, also resolve the warmup frame so the tracker learns its
+        requirement and the LEARNED bucket compiles here too — not inside
+        the serving loop."""
         import jax
 
         for b in self.buckets:
-            out, ov = self._fn(b)(self.variables, points, mask)
-            jax.tree.map(lambda x: np.asarray(x).ravel()[:1], (out, ov))
+            out, ov, act = self._fn(b)(self.variables, points, mask)
+            jax.tree.map(lambda x: np.asarray(x).ravel()[:1], (out, ov, act))
+        if self.track_capacity:
+            self.resolve([self(points, mask)])
+            learned = self._operating_bucket()
+            if learned not in self._fns:
+                out, ov, act = self._fn(learned)(self.variables, points, mask)
+                jax.tree.map(lambda x: np.asarray(x).ravel()[:1], (out, ov, act))

@@ -121,3 +121,38 @@ class TestAdaptivePredictor:
         outs2 = pred.resolve([pred(self.pts, self.mask)])
         assert pred.repaired == 1
         self._assert_equal(outs2[0])
+
+    def test_capacity_tracking_learns_a_tighter_bucket(self):
+        # ladder starts generously; after one resolved frame the tracker
+        # learns the true requirement and dispatches at the learned bucket
+        # (quantized up), with bit-identical outputs
+        pred = AdaptivePredictor(
+            capacity_detector,
+            self.variables,
+            buckets=(1024,),
+            track_quantum=16,
+        )
+        assert pred._operating_bucket() == 1024
+        outs = pred.resolve([pred(self.pts, self.mask)])
+        self._assert_equal(outs[0])
+        learned = pred._operating_bucket()
+        assert learned < 1024
+        assert learned >= self.occ  # margin keeps it safe
+        assert pred.peak_required == self.occ
+        outs2 = pred.resolve([pred(self.pts, self.mask)])
+        assert pred.repaired == 0
+        self._assert_equal(outs2[0])
+
+    def test_capacity_tracking_never_worsens_the_ladder(self):
+        # a tiny-capacity stream with a big quantum: the learned bucket
+        # would quantize far above the fitted ladder bucket — the operating
+        # bucket must stay at the ladder's (smaller) choice
+        pred = AdaptivePredictor(
+            capacity_detector,
+            self.variables,
+            buckets=(self.occ + 8, 1024),
+            track_quantum=4096,
+        )
+        pred.resolve([pred(self.pts, self.mask)])
+        assert pred._operating_bucket() == self.occ + 8
+        assert pred.repaired == 0
