@@ -1014,8 +1014,13 @@ class SparseResNet3D(nn.Module):
                 )
                 if not self.is_initializing():
                     self.sow("telemetry", f"stage{i}_active", n_out)
+                    # vs cap_out, NOT the reader cap: the stage truncates at
+                    # ITS table size (a frac<1 overflow was invisible here
+                    # before — caught by the parity tools' fail-loud check)
                     self.sow(
-                        "telemetry", f"stage{i}_overflow", jnp.maximum(n_out - cap, 0)
+                        "telemetry",
+                        f"stage{i}_overflow",
+                        jnp.maximum(n_out - cap_out, 0),
                     )
                 nbr_fwd, nbr_rev = build_down_neighbor_tables(
                     sod, out_slot_id, out_sod, slot_id, batch, spatial,
@@ -1063,7 +1068,9 @@ class SparseResNet3D(nn.Module):
         )
         if not self.is_initializing():
             self.sow("telemetry", "extra_active", n_out)
-            self.sow("telemetry", "extra_overflow", jnp.maximum(n_out - cap, 0))
+            self.sow(
+                "telemetry", "extra_overflow", jnp.maximum(n_out - cap_extra, 0)
+            )
         nbr_fwd, nbr_rev = build_down_neighbor_tables(
             sod, out_slot_id, out_sod, slot_id, batch, spatial,
             (3, 1, 1), (2, 1, 1), (0, 0, 0),

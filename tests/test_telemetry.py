@@ -148,3 +148,49 @@ class TestStageOverflowUnit:
         kept = np.sort(np.asarray(out_slot_id))
         all_out = np.flatnonzero(np.asarray(out_sod) < cap_out)
         np.testing.assert_array_equal(kept, np.sort(all_out))
+
+
+class TestSparse3DOverflowTelemetry:
+    """The 3-D sparse backbone's stage overflow must compare the dilated
+    count against the STAGE's own capacity (cap * frac), not the reader
+    capacity — regression for the r5 bug where a frac > 1 stage
+    false-alarmed (and a frac < 1 stage could truncate silently)."""
+
+    def _run(self, fracs):
+        import jax
+
+        from pillarnext_tpu.models.resnet import SparseResNet3D
+        from pillarnext_tpu.models.voxel_encoder import VoxelFeatureNet
+
+        rng = np.random.default_rng(1)
+        n = 4000  # enough that an undersized stage cap (4096 floor) truncates
+        pts = np.zeros((1, n, 5), np.float32)
+        pts[..., 0] = rng.uniform(-6, 6, (1, n))
+        pts[..., 1] = rng.uniform(-6, 6, (1, n))
+        pts[..., 2] = rng.uniform(-2.8, 2.8, (1, n))
+        reader = VoxelFeatureNet(
+            voxel_size=[0.2, 0.2, 0.125], pc_range=[-6.4, -6.4, -3.0, 6.4, 6.4, 3.0],
+            voxel_capacity=8192, output="sparse",
+        )
+        sb = reader.apply({}, jnp.asarray(pts), jnp.asarray(np.ones((1, n), bool)))
+        bb = SparseResNet3D(
+            layer_nums=(1, 1), ds_layer_strides=(1, 2), ds_num_filters=(4, 4),
+            num_input_features=5, out_channels=4, stage_capacity_frac=fracs,
+        )
+        v = bb.init(jax.random.PRNGKey(0), sb)
+        _, tel = bb.apply(v, sb, mutable="telemetry")
+        flat = {
+            jax.tree_util.keystr(p): int(np.asarray(l).sum())
+            for p, l in jax.tree_util.tree_flatten_with_path(tel)[0]
+        }
+        return {k: v_ for k, v_ in flat.items() if "overflow" in k}
+
+    def test_growing_frac_fits_and_reports_zero(self):
+        # 3-D dilation grows the set past the reader count; an ample frac
+        # must NOT false-alarm against the (smaller) reader capacity
+        ov = self._run((1.0, 4.0, 4.0))
+        assert all(v == 0 for v in ov.values()), ov
+
+    def test_undersized_stage_frac_reports_its_own_overflow(self):
+        ov = self._run((1.0, 0.5, 4.0))
+        assert any("stage1_overflow" in k and v > 0 for k, v in ov.items()), ov
