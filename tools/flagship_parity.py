@@ -267,7 +267,8 @@ def main():
     compare_detections(ref, ours, test_cfg, overfit=bool(args.overfit))
 
 
-def compare_detections(ref, ours, test_cfg, *, overfit, family="FLAGSHIP"):
+def compare_detections(ref, ours, test_cfg, *, overfit, family="FLAGSHIP",
+                       box_tol=1e-2, score_tol=1e-3):
     """Greedy nearest-center 1:1 matching + the parity verdict (shared by
     the voxel/mvf family parity tools).  Asserts count equality always;
     with ``overfit`` (trained weights) asserts EXACT set equality."""
@@ -297,6 +298,11 @@ def compare_detections(ref, ours, test_cfg, *, overfit, family="FLAGSHIP"):
         print("ref score range", ref["scores"].min(), ref["scores"].max(), flush=True)
         print("ours score range", ours["scores"].min(), ours["scores"].max(), flush=True)
     assert len(ri) == len(oi), f"count mismatch: ref {len(ri)} vs ours {len(oi)}"
+    if overfit:
+        # a 0==0 "pass" is vacuous — trained-weight parity must detect the
+        # planted objects (an under-converged model with stale BN running
+        # stats (momentum 0.99) can suppress everything at eval)
+        assert len(ri) > 0, "trained-weight parity produced no detections"
     rb, ob = ref["box3d_lidar"], ours["box3d_lidar"]
     # greedy 1:1 nearest-center assignment with a 0.5 m gate.  With RANDOM
     # weights the heatmap is near-flat: out of ~1.8M cells x 6 tasks a few
@@ -352,7 +358,11 @@ def compare_detections(ref, ours, test_cfg, *, overfit, family="FLAGSHIP"):
         # cross-hardware-f32-tight boxes/scores.  (Count equality was already
         # hard-asserted above.)
         assert frac == 1.0, f"trained-weight parity: only {frac:.1%} matched"
-        assert db.max() < 1e-2 and ds.max() < 1e-3, (db.max(), ds.max())
+        # tolerances are per-family (callers document them): cross-hardware
+        # f32 accumulation noise compounds with stack depth — the pillar
+        # flagship lands at 9.4e-3 / 9.2e-4, the deeper 3-D voxel stack at
+        # ~2e-2 / ~3e-3 on an EXACTLY matching detection set
+        assert db.max() < box_tol and ds.max() < score_tol, (db.max(), ds.max())
         print(f"TRAINED-WEIGHT {family}-PARITY OK (exact set equality)", flush=True)
         return
     # Why not set equality with random weights: a RANDOM-weight flagship's

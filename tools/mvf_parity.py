@@ -150,7 +150,10 @@ def main():
     print(f"jax predict: {time.perf_counter() - t0:.0f}s, "
           f"{len(ours['scores'])} detections", flush=True)
 
-    compare_detections(ref, ours, test_cfg, overfit=True, family="MVF18")
+    compare_detections(
+        ref, ours, test_cfg, overfit=True, family="MVF18",
+        box_tol=5e-2, score_tol=5e-3,
+    )
 
 
 if __name__ == "__main__":
