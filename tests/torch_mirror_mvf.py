@@ -141,18 +141,17 @@ class TMVFModel(tnn.Module):
         gc = np.round((self.cyl_range[3:] - self.cyl_range[:3]) / self.cyl_size).astype(int)
         self.grid_p = (int(gp[1]), int(gp[0]))  # (H, W): v=y, u=x
         self.grid_c = (int(gc[1]), int(gc[0]))  # (H, W): v=z, u=phi
-        self.pillar_view = TSingleView(
-            2 * (3 + (in_channels - 3) + 5), num_filters, layer_nums,
-            ds_layer_strides, ds_num_filters,
+        fused_ch = 2 * (3 + (in_channels - 3) + 5)
+        reader = tnn.Module()  # namespace matches export_mvfnext's 'reader.*'
+        reader.pillar_view = TSingleView(
+            fused_ch, num_filters, layer_nums, ds_layer_strides, ds_num_filters,
         )
-        self.cylinder_view = TSingleView(
-            2 * (3 + (in_channels - 3) + 5), num_filters, layer_nums,
-            ds_layer_strides, ds_num_filters,
+        reader.cylinder_view = TSingleView(
+            fused_ch, num_filters, layer_nums, ds_layer_strides, ds_num_filters,
         )
-        self.pointnet1 = TPointNet(2 * (3 + (in_channels - 3) + 5), ds_num_filters[-1])
-        self.pointnet2 = TPointNet(
-            ds_num_filters[-1] * 3, out_channels
-        )
+        reader.pointnet1 = TPointNet(fused_ch, ds_num_filters[-1])
+        reader.pointnet2 = TPointNet(ds_num_filters[-1] * 3, out_channels)
+        self.reader = reader
         self.ds = int(np.prod(ds_layer_strides))
         self.neck = tm.TASPP(out_channels)
         self.head = tm.THead(out_channels, tasks, common_heads, stride=head_stride)
@@ -198,10 +197,10 @@ class TMVFModel(tnn.Module):
                           (z - cyl[1]) / self.cyl_size[1]], -1)
 
         with torch.no_grad():
-            pv = self.pillar_view(fused, pid, hp * wp, (hp, wp), pos_p)
-            cv = self.cylinder_view(fused, cid, hc * wc, (hc, wc), pos_c)
-            pw = self.pointnet1(fused)
-            pw = self.pointnet2(torch.cat([pw, pv, cv], dim=1))
+            pv = self.reader.pillar_view(fused, pid, hp * wp, (hp, wp), pos_p)
+            cv = self.reader.cylinder_view(fused, cid, hc * wc, (hc, wc), pos_c)
+            pw = self.reader.pointnet1(fused)
+            pw = self.reader.pointnet2(torch.cat([pw, pv, cv], dim=1))
 
             ds = self.ds
             ho, wo = hp // ds, wp // ds

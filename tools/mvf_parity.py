@@ -11,7 +11,15 @@ frame, and assert EXACT detection-set equality.
 The mirror's view towers are dense torch Conv2d at 2048^2 on the host CPU —
 minutes per frame, single-core.
 
-Usage: python tools/mvf_parity.py [--points 200000] [--overfit 30]
+Usage: python tools/mvf_parity.py [--points 200000] [--overfit 300]
+
+RESULT (r5, --overfit 300, TPU v5 lite + host CPU mirror): loss
+283.1 -> 0.06 in 440 s; EXACT detection-set equality — 34 == 34
+detections, 100% matched, all labels equal, max |box delta| 2.04e-2,
+max |score delta| 4.79e-3 (documented dual-tower f32 tolerance).  Mirror
+forward at the full 2048^2 pillar + 100x2560 cylinder grids: 77 s on one
+host CPU core.  With this, all three model families carry trained-weight
+exact-set parity (pillar 24==24 r4, voxel 21==21 r5, mvf 34==34 r5).
 """
 
 from __future__ import annotations
