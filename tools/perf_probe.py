@@ -64,7 +64,11 @@ if os.environ.get("PNX_BATCH_CAP"):
     # linearly with B; at large B real scenes never fill that (diagnostic
     # for the B=8 train regression)
     cfg["model"]["reader"]["pillar_capacity"] = int(os.environ["PNX_BATCH_CAP"])
-model = builders.build_model(cfg["model"])
+    cfg["model"]["reader"]["train_pillar_capacity"] = int(os.environ["PNX_BATCH_CAP"])
+# the train stage measures the model the TRAINER builds (train=True applies
+# reader.train_pillar_capacity — without this the probe timed the EVAL
+# capacity, 98304 at flagship, not the 73728 training operating point)
+model = builders.build_model(cfg["model"], train=(STAGE == "train"))
 from pillarnext_tpu.utils.synth import lidar_like_points
 
 rng = np.random.default_rng(0)
