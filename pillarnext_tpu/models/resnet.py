@@ -21,6 +21,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from pillarnext_tpu.models.layers import (
     BN_EPS_SPARSE,
@@ -74,7 +75,11 @@ class _SubMConv(nn.Module):
         kern = kernel.reshape(k**self.ndim, cin, self.features)
         if self.dtype is not None:
             kern = kern.astype(self.dtype)
-        return subm_conv(table, nbr, kern)
+        # named for the optional save-conv-out remat policy: saving this
+        # (cap, Cout) output lets the block's backward replay skip the
+        # conv's gather+matmul entirely (the custom VJP needs only the
+        # block INPUT, which is a remat residual already)
+        return checkpoint_name(subm_conv(table, nbr, kern), "sparse_conv_out")
 
 
 class _SparseDownConv(nn.Module):
@@ -98,7 +103,9 @@ class _SparseDownConv(nn.Module):
         kern = kernel.reshape(k, cin, self.features)
         if self.dtype is not None:
             kern = kern.astype(self.dtype)
-        return sparse_strided_conv(table, nbr_fwd, nbr_rev, kern)
+        return checkpoint_name(
+            sparse_strided_conv(table, nbr_fwd, nbr_rev, kern), "sparse_conv_out"
+        )
 
 
 class SparseConvBlock(nn.Module):
@@ -173,6 +180,18 @@ class _SparseStridedConvBlock(nn.Module):
         return jnp.where(out_valid[:, None], nn.relu(x), 0.0)
 
 
+def _sparse_remat_policy(save_conv_out: bool):
+    """Remat policy for sparse blocks: optionally SAVE the tagged sparse-conv
+    outputs so the backward replay skips every forward gather+matmul (the
+    conv VJPs need only block inputs/params).  Costs one (cap, Cout) buffer
+    per conv; with the shared-gather VJPs this leaves exactly ONE gather
+    sweep per conv in the whole fwd+bwd (measured tools/perf_probe.py train:
+    B=2 560 -> 470 ms, B=4 1200 -> 983 ms at the 73728 train capacity)."""
+    if save_conv_out:
+        return jax.checkpoint_policies.save_only_these_names("sparse_conv_out")
+    return None
+
+
 class _SparseStridedStage(nn.Module):
     """One strided backbone stage fully over compact tables: set-dilating
     downsample conv then SubM residual blocks at the new resolution.  Param
@@ -183,16 +202,18 @@ class _SparseStridedStage(nn.Module):
     num_blocks: int
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
+    save_conv_out: bool = False
 
     @nn.compact
     def __call__(self, x, out_valid, nbr_fwd, nbr_rev, nbr_sub, train: bool = False):
+        pol = _sparse_remat_policy(self.save_conv_out)
         down_cls = (
-            nn.remat(_SparseStridedConvBlock, static_argnums=(5,))
+            nn.remat(_SparseStridedConvBlock, static_argnums=(5,), policy=pol)
             if train
             else _SparseStridedConvBlock
         )
         res_cls = (
-            nn.remat(SparseResidualBlock, static_argnums=(4,))
+            nn.remat(SparseResidualBlock, static_argnums=(4,), policy=pol)
             if train
             else SparseResidualBlock
         )
@@ -259,14 +280,16 @@ class _SparseStage(nn.Module):
     num_blocks: int
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
+    save_conv_out: bool = False
 
     @nn.compact
     def __call__(self, x, valid, nbr, train: bool = False):
         # remat per block in training: the compact tables are tiny (MBs) but
-        # each conv's backward re-gathers a (cap, K*Cin) neighborhood buffer
+        # each conv's backward gathers a (cap, K*C) neighborhood buffer
         # — remat serializes those temps instead of keeping them all live
-        conv_cls = nn.remat(SparseConvBlock, static_argnums=(4,)) if train else SparseConvBlock
-        res_cls = nn.remat(SparseResidualBlock, static_argnums=(4,)) if train else SparseResidualBlock
+        pol = _sparse_remat_policy(self.save_conv_out)
+        conv_cls = nn.remat(SparseConvBlock, static_argnums=(4,), policy=pol) if train else SparseConvBlock
+        res_cls = nn.remat(SparseResidualBlock, static_argnums=(4,), policy=pol) if train else SparseResidualBlock
         x = conv_cls(
             self.features, self.kernel_size,
             axis_name=self.axis_name, dtype=self.dtype, name="down",
@@ -450,6 +473,13 @@ class SparseResNet(nn.Module):
     # rematerialize dense stages in training (memory for FLOPs); with the
     # sparse stage-0 the dense tail starts at 672^2 and may fit un-remat'ed
     remat_train: bool = True
+    # sparse-stage remat policy: save each tagged sparse-conv output
+    # ((cap, Cout) — MBs per conv) so the backward replay skips every
+    # forward gather+matmul; with the shared-gather conv VJPs this leaves
+    # ONE gather sweep per conv fwd+bwd.  Measured (tools/perf_probe.py
+    # train, 73728 caps): B=2 560 -> 470 ms, B=4 1200 -> 983 ms; HBM high
+    # -water stays under the B x capacity cliff at B<=4
+    remat_save_conv_out: bool = True
     # 'leading': only the stride-1 prefix runs sparse (tail is [masked]
     # dense).  'all': the WHOLE backbone runs over compact tables — strided
     # stages use the set-dilating sparse conv, the image is densified only
@@ -552,6 +582,7 @@ class SparseResNet(nn.Module):
                         self.layer_nums[i],
                         axis_name=self.axis_name,
                         dtype=self.dtype,
+                        save_conv_out=self.remat_save_conv_out,
                         name=f"stage_{i}",
                     )(feats, sb.valid, nbr, train)
                 start = n_sparse
@@ -719,6 +750,7 @@ class SparseResNet(nn.Module):
                 table = _SparseStage(
                     f, k, num_blocks,
                     axis_name=self.axis_name, dtype=self.dtype,
+                    save_conv_out=self.remat_save_conv_out,
                     name=f"stage_{i}",
                 )(table, valid, nbr, train)
             else:
@@ -747,6 +779,7 @@ class SparseResNet(nn.Module):
                 table = _SparseStridedStage(
                     f, k, num_blocks,
                     axis_name=self.axis_name, dtype=self.dtype,
+                    save_conv_out=self.remat_save_conv_out,
                     name=f"stage_{i}",
                 )(table, out_valid, nbr_fwd, nbr_rev, nbr_sub, train)
                 valid, sod, slot_id, spatial = out_valid, out_sod, out_slot_id, out_sp
@@ -797,7 +830,8 @@ class SparseResNet(nn.Module):
         for i in range(n_sparse):
             table = _SparseStage(
                 self.ds_num_filters[i], self.kernel_size[i], self.layer_nums[i],
-                axis_name=self.axis_name, dtype=self.dtype, name=f"stage_{i}",
+                axis_name=self.axis_name, dtype=self.dtype,
+                save_conv_out=self.remat_save_conv_out, name=f"stage_{i}",
             )(table, sb.valid, nbr, train)
 
         i = n_sparse
@@ -907,6 +941,8 @@ class SparseResNet3D(nn.Module):
     # telemetry (the Trainer raises) — never silent truncation; calibrate
     # per dataset with tools/calibrate_capacity.py.
     stage_capacity_frac: Sequence[float] = (1.0, 1.5, 0.9, 0.4, 0.25)
+    # save tagged sparse-conv outputs under remat (see SparseResNet)
+    remat_save_conv_out: bool = True
     axis_name: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -992,11 +1028,12 @@ class SparseResNet3D(nn.Module):
         valid, sod, slot_id = sb.valid, sb.slot_of_dense, sb.slot_id
         cap = sb.capacity
 
-        # remat per block in training: each conv backward re-gathers a
-        # (cap, K*Cin) buffer (243 MB at voxel18 capacity); without remat
+        # remat per block in training: each conv backward gathers a
+        # (cap, K*C) buffer (243 MB at voxel18 capacity); without remat
         # XLA keeps them all live and the step OOMs at config resolution
-        conv_cls = nn.remat(SparseConvBlock, static_argnums=(4,)) if train else SparseConvBlock
-        res_cls = nn.remat(SparseResidualBlock, static_argnums=(4,)) if train else SparseResidualBlock
+        pol = _sparse_remat_policy(self.remat_save_conv_out)
+        conv_cls = nn.remat(SparseConvBlock, static_argnums=(4,), policy=pol) if train else SparseConvBlock
+        res_cls = nn.remat(SparseResidualBlock, static_argnums=(4,), policy=pol) if train else SparseResidualBlock
 
         for i, num_blocks in enumerate(self.layer_nums):
             k, s = self.kernel_size[i], self.ds_layer_strides[i]

@@ -230,25 +230,38 @@ def _fwd(table, nbr_fwd, nbr_rev, kernel, precision):
 
 
 def _bwd(precision, res, g):
+    """Shared-gather backward: the reverse-table cotangent gather feeds BOTH
+    pulls.  rev[i, t] = o  <=>  fwd[o, t] = i (the tables are adjoint by
+    construction), so with  gr[i, t] = g[rev(i, t)]:
+
+        dx[i] = sum_t gr[i, t] @ W[t]^T
+        dW[t] = x^T @ gr[:, t]            (x itself, NOT re-gathered)
+
+    The earlier form re-gathered x over nbr_fwd for dW — a full K-tap sweep
+    over cap_out rows at the gather-descriptor floor, now gone.  Dump
+    conventions keep both forms exact: fwd taps at cap_in read x's zero row,
+    rev taps at cap_out read g_pad's zero row, and the (i, t) <-> (o, t)
+    pairing is one-to-one over the real entries.  f32 accumulation for dW.
+    """
     table, nbr_fwd, nbr_rev, kernel = res
-    cap_out, k = nbr_fwd.shape
+    k = nbr_fwd.shape[1]
     cin = table.shape[-1]
     cout = kernel.shape[-1]
+    cap_in = nbr_rev.shape[0]
 
-    # operands stay in storage dtype, f32 accumulation, transpose-free
-    # contraction (see subm_conv._subm_bwd)
-    x = table[nbr_fwd.reshape(-1)].reshape(cap_out, k * cin)
-    dk = jax.lax.dot_general(
-        x, g, (((0,), (0,)), ((), ())),
-        precision=precision, preferred_element_type=jnp.float32,
-    ).reshape(k, cin, cout)
-
-    # dx[i] = sum_t g[rev(i, t)] @ W[t]^T  (one gather + one matmul)
     g_pad = jnp.concatenate([g, jnp.zeros((1, cout), g.dtype)], axis=0)
-    gr = g_pad[nbr_rev.reshape(-1)].reshape(nbr_rev.shape[0], k * cout)
+    gr = g_pad[nbr_rev.reshape(-1)].reshape(cap_in, k * cout)
+
+    # dx[i] = sum_t gr[i, t] @ W[t]^T  (one matmul over the gathered taps)
     w_t = kernel.transpose(0, 2, 1).reshape(k * cout, cin)  # (K*Cout, Cin)
     dx_active = jax.lax.dot(gr, w_t.astype(gr.dtype), precision=precision)
     dx = jnp.concatenate([dx_active, jnp.zeros((1, cin), dx_active.dtype)], axis=0)
+
+    # dW from the same gathered taps: (Cin, K*Cout) -> (K, Cin, Cout)
+    dk = jax.lax.dot_general(
+        table[:cap_in], gr, (((0,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    ).reshape(cin, k, cout).transpose(1, 0, 2)
     return dx.astype(table.dtype), None, None, dk.astype(kernel.dtype)
 
 

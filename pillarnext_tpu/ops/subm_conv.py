@@ -210,45 +210,70 @@ def _subm_fwd(table, nbr, kernel, precision):
 
 
 def _subm_bwd(precision, res, g):
+    """Shared-gather backward: ONE cotangent gather sweep feeds BOTH pulls.
+
+    By the mirror bijection (nbr[j, k] = i  <=>  nbr[i, K-1-k] = j for
+    active i, j), the gathered cotangent taps H_m = g[nbr[:, m]] give
+
+        dx[i] = sum_m H_m[i] @ W[K-1-m]^T          (mirrored-transposed conv)
+        dW[k] = x^T @ H_{K-1-k}                     (x itself, NOT re-gathered)
+
+    The earlier form re-gathered x for dW — a second (K-3)-tap sweep per
+    conv backward at the ~230M-descriptors/s gather floor.  Dropping it cuts
+    the backward's gather cost in half (measured tools/train_breakdown.py).
+    Operands stay in their storage dtype with f32 ACCUMULATION for dW; dump
+    conventions make both forms exact (invalid taps read the zero row either
+    way).  Tap-decomposed like the forward: center/roll taps need no gather.
+    """
     table, nbr, kernel = res
     cap, k = nbr.shape
     cin = table.shape[-1]
     cout = kernel.shape[-1]
-
-    # dW: re-gather x (cheap; avoids saving the (cap, K*Cin) buffer).
-    # Operands stay in their storage dtype with f32 ACCUMULATION, and the
-    # contraction runs over x's leading axis directly — an explicit x.T (or
-    # f32 pre-cast) materializes a (cap, K*Cin) copy per conv (243 MB at the
-    # voxel18 capacity; OOMed the full-scale train step).  Tap-decomposed
-    # like the forward: the center/roll taps need no gather.
     c = k // 2
     xa = table[:cap]
+    w = kernel.astype(g.dtype)
 
-    def _dk(x_tap):
+    def _dk(h_tap):  # (cap, Cout) -> (Cin, Cout), f32 accumulation
         return jax.lax.dot_general(
-            x_tap, g, (((0,), (0,)), ((), ())),
+            xa, h_tap, (((0,), (0,)), ((), ())),
             precision=precision, preferred_element_type=jnp.float32,
         )
 
     if k == 1:
         ar = jnp.arange(cap, dtype=nbr.dtype)
-        mc = (nbr[:, 0] == ar)[:, None].astype(table.dtype)
-        dk = _dk(xa * mc).reshape(1, cin, cout)
+        mc = (nbr[:, 0] == ar)[:, None].astype(g.dtype)
+        h_c = g * mc
+        dk = _dk(h_c).reshape(1, cin, cout)
+        dx_active = jax.lax.dot(h_c, w[0].T, precision=precision)
     else:
         rest = [t for t in range(k) if t not in (c - 1, c, c + 1)]
         mr, ml, mc = _inline_tap_masks(nbr, cap)
-        x = table[nbr[:, jnp.array(rest)].reshape(-1)].reshape(cap, len(rest) * cin)
-        dk_rest = _dk(x).reshape(len(rest), cin, cout)
-        dk = jnp.zeros((k, cin, cout), jnp.float32)
-        dk = dk.at[jnp.array(rest)].set(dk_rest)
-        dk = dk.at[c].set(_dk(xa * mc.astype(table.dtype)))
-        dk = dk.at[c + 1].set(_dk(jnp.roll(xa, -1, 0) * mr.astype(table.dtype)))
-        dk = dk.at[c - 1].set(_dk(jnp.roll(xa, 1, 0) * ml.astype(table.dtype)))
+        h_c = g * mc.astype(g.dtype)
+        h_r = jnp.roll(g, -1, 0) * mr.astype(g.dtype)  # tap c+1 of g
+        h_l = jnp.roll(g, 1, 0) * ml.astype(g.dtype)  # tap c-1 of g
+        g_pad = jnp.concatenate([g, jnp.zeros((1, cout), g.dtype)], axis=0)
+        h_rest = g_pad[nbr[:, jnp.array(rest)].reshape(-1)].reshape(
+            cap, len(rest) * cout
+        )
 
-    # dx: mirrored-transposed SubM conv of g over the same active set
-    g_pad = jnp.concatenate([g, jnp.zeros((1, cout), g.dtype)], axis=0)
-    w_t = jnp.flip(kernel, axis=0).transpose(0, 2, 1)  # (K, Cout, Cin)
-    dx_active = _subm_fwd_impl(g_pad, nbr, w_t.astype(g.dtype), precision)
+        # dx: H_m paired with the mirrored tap's kernel
+        dx_active = jax.lax.dot(h_c, w[c].T, precision=precision)
+        dx_active = dx_active + jax.lax.dot(h_r, w[c - 1].T, precision=precision)
+        dx_active = dx_active + jax.lax.dot(h_l, w[c + 1].T, precision=precision)
+        w_rest_t = jnp.stack([w[k - 1 - m] for m in rest], 0).transpose(
+            0, 2, 1
+        ).reshape(len(rest) * cout, cin)
+        dx_active = dx_active + jax.lax.dot(h_rest, w_rest_t, precision=precision)
+
+        # dW: the SAME H taps, mirrored assignment
+        dk = jnp.zeros((k, cin, cout), jnp.float32)
+        dk = dk.at[c].set(_dk(h_c))
+        dk = dk.at[c - 1].set(_dk(h_r))  # K-1-(c-1) = c+1 -> H_r
+        dk = dk.at[c + 1].set(_dk(h_l))
+        dk_rest = _dk(h_rest).reshape(cin, len(rest), cout)
+        for i, m in enumerate(rest):  # static, 6 (2-D) / 24 (3-D) slices
+            dk = dk.at[k - 1 - m].set(dk_rest[:, i, :])
+
     dx = jnp.concatenate(
         [dx_active, jnp.zeros((1, cin), dx_active.dtype)], axis=0
     )

@@ -413,3 +413,63 @@ def test_leading_down_backbone_equals_masked_dense():
         np.asarray(out_h), np.asarray(out_m), rtol=2e-2, atol=2e-2
     )
     assert float(jnp.abs(out_h).max()) > 0
+
+
+def test_save_conv_out_remat_policy_grads_identical():
+    """remat_save_conv_out saves the tagged sparse-conv outputs so the
+    backward replay skips every forward gather+matmul (models/resnet.py
+    _sparse_remat_policy) — it is a pure scheduling choice and must leave
+    gradients EXACTLY unchanged vs the save-nothing remat policy."""
+    from pillarnext_tpu.models.pillar_encoder import PillarFeatureNet
+    from pillarnext_tpu.models.resnet import SparseResNet
+
+    rng = np.random.default_rng(13)
+    common = dict(
+        num_input_features=5,
+        num_filters=[16, 16],
+        voxel_size=[1.0, 1.0, 8.0],
+        pc_range=[-12.0, -12.0, -5.0, 12.0, 12.0, 3.0],
+        pillar_capacity=128,
+        output="sparse",
+    )
+    bb_kw = dict(
+        layer_nums=[1, 1],
+        ds_layer_strides=[1, 2],
+        ds_num_filters=[16, 24],
+        num_input_features=16,
+        kernel_size=(3, 3),
+        out_channels=24,
+        sparse_stages_train="all",
+    )
+    pts = jnp.asarray(rng.normal(size=(2, 256, 5)).astype(np.float32) * 6)
+    mask = jnp.ones((2, 256), bool)
+
+    import flax.linen as fnn
+
+    class M(fnn.Module):
+        save: bool
+
+        @fnn.compact
+        def __call__(self, p, q, train=False):
+            sb = PillarFeatureNet(**common, name="reader")(p, q, train)
+            return SparseResNet(
+                **bb_kw, remat_save_conv_out=self.save, name="backbone"
+            )(sb, train)
+
+    m_on, m_off = M(True), M(False)
+    v = m_on.init(jax.random.PRNGKey(0), pts, mask)
+
+    def loss(m, p):
+        out, _ = m.apply(
+            {**v, "params": p}, pts, mask, True,
+            mutable=["batch_stats", "telemetry"],
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_on = jax.jit(jax.grad(lambda p: loss(m_on, p)))(v["params"])
+    g_off = jax.jit(jax.grad(lambda p: loss(m_off, p)))(v["params"])
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_on),
+        jax.tree_util.tree_leaves_with_path(g_off),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(kp))
